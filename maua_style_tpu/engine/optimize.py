@@ -1,0 +1,303 @@
+"""StyleEngine — the jitted optimisation core (reference: optim.py:111-255).
+
+One engine instance holds the feature-net spec/params and jitted callables;
+pipelines create an engine per scale and call :meth:`optimize` per image /
+frame / window batch.  The entire iteration loop (feature forward, losses,
+backward, optimiser update, per-loss logging) is a single ``lax.scan`` inside
+``jit`` — per-iteration work never touches the host, unlike the reference's
+per-iteration ``.item()`` sync (optim.py:210).
+
+Sharding: pass ``shardings`` (a NamedSharding for the pastiche) and the scan
+carries it through; GSPMD partitions the convolutions spatially and inserts
+the Gram psum automatically (see maua_style_tpu/parallel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import (
+    LossConfig,
+    capture_content_targets,
+    capture_style_targets,
+    capture_style_video_targets,
+    capture_temporal_targets,
+    evaluate_losses,
+)
+from ..models.extractor import ExtractorSpec, apply_extractor, truncate_spec
+from ..utils import wrapping_indices
+from .lbfgs import lbfgs
+from .windows import compute_windows, overlap_grad_mask, window_overlaps
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+class StyleEngine:
+    def __init__(
+        self,
+        spec: ExtractorSpec,
+        params: dict,
+        loss_cfg: LossConfig,
+        *,
+        optimizer: str = "lbfgs",
+        learning_rate: float = 1.0,
+        lbfgs_history: int = 100,
+        precision: str = "highest",
+        normalize_weights: bool = False,
+        compute_dtype=jnp.float32,
+        pastiche_sharding=None,
+        verbose: bool = False,
+    ):
+        self.loss_cfg = loss_cfg
+        self.spec = truncate_spec(spec, loss_cfg.all_layers)
+        self.params = params
+        self.optimizer_name = optimizer
+        self.learning_rate = learning_rate
+        self.lbfgs_history = lbfgs_history
+        self.precision = _PRECISIONS[precision]
+        self.normalize_weights = normalize_weights
+        self.compute_dtype = compute_dtype
+        self.pastiche_sharding = pastiche_sharding
+        self.verbose = verbose
+        self.last_loss_log: np.ndarray | None = None
+        self._runners: dict[Any, Callable] = {}
+
+        def extract(prm, x, layers):
+            return apply_extractor(prm, x.astype(compute_dtype), self.spec, layers, self.precision)
+
+        self._extract = extract
+        self._jit_content = jax.jit(lambda prm, c: capture_content_targets(partial(extract, prm), c, loss_cfg))
+
+        def style_grams(prm, img):
+            from ..ops.gram import batch_gram
+
+            acts = extract(prm, img, loss_cfg.style_layers)
+            out = {}
+            for l in loss_cfg.style_layers:
+                a = acts[l]
+                nel = a.shape[1] * a.shape[2] * a.shape[3]
+                out[l] = (batch_gram(a, loss_cfg.use_covariance) / nel).mean(axis=0)
+            return out
+
+        self._jit_style_grams = jax.jit(style_grams)
+
+        def video_grams(prm, window):
+            from ..ops.gram import batch_gram, video_gram
+
+            acts = extract(prm, window, loss_cfg.style_layers)
+            static, dynamic = {}, {}
+            for l in loss_cfg.style_layers:
+                a = acts[l]
+                nel = a.shape[1] * a.shape[2] * a.shape[3]
+                static[l] = (batch_gram(a, loss_cfg.use_covariance) / nel).mean(axis=0)
+                if loss_cfg.video_style_factor > 0:
+                    dynamic[l] = video_gram(a, loss_cfg.use_covariance) / a.size
+            return static, dynamic
+
+        self._jit_video_grams = jax.jit(video_grams)
+
+    # -- target capture ----------------------------------------------------
+
+    def content_targets(self, content) -> dict:
+        return self._jit_content(self.params, jnp.asarray(content))
+
+    def style_targets(self, styles: Sequence, blend_weights: Sequence[float]) -> dict:
+        targets: dict[str, jax.Array] = {}
+        for style, bw in zip(styles, blend_weights):
+            grams = self._jit_style_grams(self.params, jnp.asarray(style))
+            for l, g in grams.items():
+                targets[l] = targets.get(l, 0) + bw * g
+        return targets
+
+    def style_video_targets(
+        self, style_videos: Sequence, blend_weights: Sequence[float], gram_frame_window: int
+    ) -> tuple[dict, dict]:
+        """Static+dynamic targets averaged over all windows (reference optim.py:69-90)."""
+        static: dict[str, jax.Array] = {}
+        dynamic: dict[str, jax.Array] = {}
+        for video, bw in zip(style_videos, blend_weights):
+            video = jnp.asarray(video)
+            n_windows = max(video.shape[0] - gram_frame_window + 1, 1)
+            w_eff = bw / n_windows
+            for start in range(n_windows):
+                window = video[start : start + gram_frame_window]
+                s, d = self._jit_video_grams(self.params, window)
+                for l in self.loss_cfg.style_layers:
+                    static[l] = static.get(l, 0) + w_eff * s[l]
+                    if d:
+                        dynamic[l] = dynamic.get(l, 0) + w_eff * d[l]
+        return static, dynamic
+
+    # -- strength normalisation (reference optim.py:176-178) ----------------
+
+    def _strength_scale(self, targets: dict) -> tuple[tuple[str, float], ...]:
+        if not self.normalize_weights:
+            return ()
+        scale = []
+        for l, t in targets.get("content", {}).items():
+            scale.append((f"content:{l}", 1.0 / max(t.shape)))
+        for l, t in targets.get("style", {}).items():
+            scale.append((f"style:{l}", 1.0 / max(t.shape)))
+        temporal = targets.get("temporal")
+        if temporal is not None:
+            scale.append(("temporal", 1.0 / max(temporal["target"].shape)))
+        return tuple(scale)
+
+    # -- the jitted optimisation loop ---------------------------------------
+
+    def _make_optimizer(self):
+        if self.optimizer_name == "lbfgs":
+            return lbfgs(self.learning_rate, self.lbfgs_history)
+        if self.optimizer_name == "adam":
+            return optax.adam(self.learning_rate)
+        raise ValueError(f"unknown optimizer {self.optimizer_name}")
+
+    def _runner(self, n_iters: int, scale_key: tuple, masked: bool):
+        key = (n_iters, scale_key, masked, self.optimizer_name)
+        if key in self._runners:
+            return self._runners[key]
+
+        opt = self._make_optimizer()
+        scale = dict(scale_key)
+        cfg = self.loss_cfg
+        extract = self._extract
+
+        def run(prm, pastiche, opt_state, targets, grad_mask):
+            def loss_fn(p):
+                acts = extract(prm, p, cfg.all_layers)
+                total, per = evaluate_losses(p, acts, targets, cfg, scale)
+                return total, per
+
+            def step(carry, _):
+                p, st = carry
+                (total, per), grad = jax.value_and_grad(loss_fn, has_aux=True)(p)
+                grad = grad.astype(jnp.float32)
+                if masked:
+                    grad = grad * grad_mask
+                updates, st2 = opt.update(grad, st, p)
+                p = optax.apply_updates(p, updates)
+                if self.pastiche_sharding is not None:
+                    p = jax.lax.with_sharding_constraint(p, self.pastiche_sharding)
+                return (p, st2), per
+
+            (p, st), log = jax.lax.scan(step, (pastiche, opt_state), length=n_iters)
+            return p, st, log
+
+        self._runners[key] = jax.jit(run, donate_argnums=(1, 2))
+        return self._runners[key]
+
+    # -- public API ----------------------------------------------------------
+
+    def optimize(
+        self,
+        content,
+        styles: Sequence,
+        init,
+        num_iters: int,
+        *,
+        transfer_type: str = "img_img",
+        blend_weights: Sequence[float] | None = None,
+        gram_frame_window: int | None = None,
+        avg_frame_window: int = -1,
+        temporal_target=None,
+        temporal_weights=None,
+        save_iter: int = 0,
+        save_callback: Callable[[np.ndarray, int], None] | None = None,
+    ) -> np.ndarray:
+        """Optimise a pastiche (image or video batch) against content+style
+        targets; the functional equivalent of reference optim.optimize
+        (optim.py:111-255), including the circular temporal window schedule
+        for video styles.
+        """
+        content = jnp.asarray(content, jnp.float32)
+        styles = [jnp.asarray(s, jnp.float32) for s in styles]
+        init = jnp.asarray(init, jnp.float32)
+        blend_weights = list(blend_weights) if blend_weights is not None else [1.0 / max(len(styles), 1)] * len(styles)
+
+        video = "_vid" in transfer_type
+        if video:
+            assert gram_frame_window is not None
+            windows = compute_windows(init.shape[0], [s.shape[0] for s in styles], gram_frame_window)
+            gfw = gram_frame_window
+        else:
+            windows = [[0]] * max(len(styles), 1)
+            gfw = init.shape[0]
+
+        targets: dict[str, Any] = {"content": self.content_targets(content)}
+        if temporal_target is not None:
+            targets["temporal"] = capture_temporal_targets(
+                jnp.asarray(temporal_target, jnp.float32),
+                None if temporal_weights is None else jnp.asarray(temporal_weights, jnp.float32),
+            )
+        if video:
+            if avg_frame_window == -1:
+                static, dynamic = self.style_video_targets(styles, blend_weights, gfw)
+                targets["style"] = static
+                if dynamic:
+                    targets["style_video"] = dynamic
+        else:
+            targets["style"] = self.style_targets(styles, blend_weights)
+
+        output = init
+        loss_logs = []
+        for w, window_start in enumerate(windows[0]):
+            if video:
+                front_overlap, end_overlap = window_overlaps(windows[0], w, window_start, gfw, output.shape[0])
+                idx = wrapping_indices(output.shape[0], window_start, gfw)
+                if output.shape[0] == 1:
+                    idx = np.zeros(1, np.int64)
+                pastiche = output[idx]
+                if avg_frame_window != -1:
+                    current = [
+                        s[wrapping_indices(s.shape[0], windows[num + 1][w], avg_frame_window)]
+                        if s.shape[0] != 1
+                        else s
+                        for num, s in enumerate(styles)
+                    ]
+                    static, dynamic = self.style_video_targets(current, blend_weights, gfw)
+                    targets["style"] = static
+                    if dynamic:
+                        targets["style_video"] = dynamic
+                mask = jnp.asarray(overlap_grad_mask(gfw, w, front_overlap, end_overlap))
+                masked = w != 0
+            else:
+                pastiche = init
+                idx = None
+                mask = jnp.ones((1, 1, 1, 1), jnp.float32)
+                masked = False
+
+            scale_key = self._strength_scale(targets)
+            opt = self._make_optimizer()
+            opt_state = opt.init(pastiche)
+
+            chunk = num_iters if save_iter <= 0 else save_iter
+            done = 0
+            while done < num_iters:
+                this = min(chunk, num_iters - done)
+                runner = self._runner(this, scale_key, masked)
+                pastiche, opt_state, log = runner(self.params, pastiche, opt_state, targets, mask)
+                done += this
+                loss_logs.append(np.asarray(log))
+                if save_callback is not None and done < num_iters:
+                    save_callback(np.asarray(pastiche), w * num_iters + done)
+
+            if video:
+                output = output.at[idx].set(pastiche)
+            else:
+                output = pastiche
+
+        self.last_loss_log = np.concatenate(loss_logs, axis=0) if loss_logs else None
+        return np.asarray(output)
+
+
+__all__ = ["StyleEngine"]

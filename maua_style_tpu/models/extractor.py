@@ -1,0 +1,153 @@
+"""Spec-driven convolutional feature extraction.
+
+A model is a flat tuple of layer specs (conv / relu / pool / drop / softmax)
+with the reference's canonical layer names (models.py:140-243), plus a
+parameter pytree ``{conv_name: {"w": HWIO, "b": (C,)}}``.  ``apply_extractor``
+runs the net in NHWC on the MXU and returns the activations requested by
+name, stopping at the deepest one — the functional equivalent of the
+reference's loss-module-instrumented ``nn.Sequential`` (models.py:351-453).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Layer:
+    kind: str  # "conv" | "relu" | "maxpool" | "avgpool" | "drop" | "softmax"
+    name: str
+    out_ch: int = 0
+    kernel: tuple[int, int] = (0, 0)
+    stride: tuple[int, int] = (1, 1)
+    pad: tuple[int, int] = (0, 0)
+    ceil_mode: bool = False
+
+
+@dataclass(frozen=True)
+class ExtractorSpec:
+    arch: str
+    layers: tuple[Layer, ...]
+    in_ch: int = 3
+
+    @property
+    def conv_layers(self) -> tuple[Layer, ...]:
+        return tuple(l for l in self.layers if l.kind == "conv")
+
+    def layer_names(self) -> tuple[str, ...]:
+        return tuple(l.name for l in self.layers)
+
+
+def truncate_spec(spec: ExtractorSpec, wanted: Iterable[str]) -> ExtractorSpec:
+    """Spec cut off after the deepest wanted layer (reference stops building
+    the net once all loss layers are inserted, models.py:382)."""
+    wanted = set(wanted)
+    names = [l.name for l in spec.layers]
+    missing = wanted - set(names)
+    if missing:
+        raise ValueError(f"unknown layers for {spec.arch}: {sorted(missing)}; available: {names}")
+    last = max(i for i, n in enumerate(names) if n in wanted)
+    return ExtractorSpec(spec.arch, spec.layers[: last + 1], spec.in_ch)
+
+
+def init_params(spec: ExtractorSpec, seed: int = 0, dtype=jnp.float32) -> dict:
+    """Deterministic He-normal initialisation (fallback when no pretrained
+    checkpoint is available; see models/convert.py for .pth conversion)."""
+    key = jax.random.PRNGKey(seed)
+    params = {}
+    in_ch = spec.in_ch
+    for layer in spec.layers:
+        if layer.kind != "conv":
+            continue
+        key, wkey = jax.random.split(key)
+        kh, kw = layer.kernel
+        fan_in = kh * kw * in_ch
+        w = jax.random.normal(wkey, (kh, kw, in_ch, layer.out_ch), dtype) * np.sqrt(2.0 / fan_in)
+        params[layer.name] = {"w": w, "b": jnp.zeros((layer.out_ch,), dtype)}
+        in_ch = layer.out_ch
+    return params
+
+
+def _pool_out_len(length: int, kernel: int, stride: int, ceil_mode: bool) -> int:
+    if ceil_mode:
+        out = -(-(length - kernel) // stride) + 1
+        # torch drops a trailing window that would start beyond the input
+        if (out - 1) * stride >= length:
+            out -= 1
+        return max(out, 1)
+    return (length - kernel) // stride + 1
+
+
+def _pool(x: jax.Array, layer: Layer) -> jax.Array:
+    kh, kw = layer.kernel
+    sh, sw = layer.stride
+    h, w = x.shape[1], x.shape[2]
+    oh = _pool_out_len(h, kh, sh, layer.ceil_mode)
+    ow = _pool_out_len(w, kw, sw, layer.ceil_mode)
+    pad_h = max((oh - 1) * sh + kh - h, 0)
+    pad_w = max((ow - 1) * sw + kw - w, 0)
+    dims = (1, kh, kw, 1)
+    strides = (1, sh, sw, 1)
+    padding = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    if layer.kind == "maxpool":
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, padding)
+    # avg pool: divide by the number of in-bounds elements per window
+    # (torch AvgPool2d with ceil_mode ignores out-of-bound positions)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, dims, strides, padding)
+    ones = jnp.ones((1, h, w, 1), x.dtype)
+    count = jax.lax.reduce_window(ones, 0.0, jax.lax.add, dims, strides, padding)
+    return summed / count
+
+
+def apply_extractor(
+    params: dict,
+    x: jax.Array,
+    spec: ExtractorSpec,
+    wanted: Iterable[str] = (),
+    precision=jax.lax.Precision.HIGHEST,
+) -> dict[str, jax.Array]:
+    """Run the extractor, returning {name: activation} for ``wanted`` layers.
+
+    x: (B, H, W, C) NHWC float. Evaluation stops after the deepest wanted
+    layer so shallow losses never pay for deep layers.
+    """
+    wanted = tuple(wanted)
+    remaining = set(wanted)
+    acts: dict[str, jax.Array] = {}
+    for layer in spec.layers:
+        if layer.kind == "conv":
+            p = params[layer.name]
+            x = jax.lax.conv_general_dilated(
+                x,
+                p["w"].astype(x.dtype),
+                window_strides=layer.stride,
+                padding=[(layer.pad[0], layer.pad[0]), (layer.pad[1], layer.pad[1])],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision,
+            ) + p["b"].astype(x.dtype)
+        elif layer.kind == "relu":
+            x = jnp.maximum(x, 0)
+        elif layer.kind in ("maxpool", "avgpool"):
+            x = _pool(x, layer)
+        elif layer.kind == "drop":
+            pass  # inference-mode dropout is identity
+        elif layer.kind == "softmax":
+            x = jax.nn.softmax(x, axis=-1)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown layer kind {layer.kind}")
+        if layer.name in remaining:
+            acts[layer.name] = x
+            remaining.discard(layer.name)
+            if not remaining:
+                break
+    if remaining:
+        raise ValueError(f"layers not found in {spec.arch}: {sorted(remaining)}")
+    return acts
+
+
+__all__ = ["Layer", "ExtractorSpec", "apply_extractor", "init_params", "truncate_spec"]

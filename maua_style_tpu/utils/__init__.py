@@ -1,0 +1,44 @@
+"""Small shared helpers (reference: utils.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def name(s: str) -> str:
+    """Stem of a path-like string (reference: utils.py:53-54)."""
+    return str(s).split("/")[-1].split(".")[0]
+
+
+def info(x, label: str | None = None) -> None:
+    """Print tensor stats for debugging (reference: utils.py:10-50)."""
+    x = np.asarray(x)
+    prefix = f"{label} " if label else ""
+    print(f"{prefix}{x.min():.2f} {x.mean():.2f} {x.max():.2f} {tuple(x.shape)}")
+
+
+def wrapping_indices(length: int, start: int, window: int) -> np.ndarray:
+    """Indices of a circular window over the leading axis.
+
+    Mirrors the semantics of the reference's ``wrapping_slice``
+    (reference: utils.py:76-85): a window of ``window`` indices starting at
+    ``start``, wrapping around at ``length``; a length-1 axis always yields
+    index 0.
+    """
+    if length == 1:
+        return np.zeros(min(window, 1), dtype=np.int64) if window >= 1 else np.zeros(0, dtype=np.int64)
+    if start + window <= length:
+        return np.arange(start, start + window, dtype=np.int64)
+    return np.concatenate(
+        [np.arange(start, length, dtype=np.int64), np.arange(0, (start + window) % length, dtype=np.int64)]
+    )
+
+
+def wrapping_slice(tensor, start: int, window: int, return_indices: bool = False):
+    """Circular slice along the leading axis (reference: utils.py:76-85)."""
+    idx = wrapping_indices(tensor.shape[0], start, window)
+    if tensor.shape[0] == 1:
+        idx = np.zeros(1, dtype=np.int64)
+    if return_indices:
+        return idx
+    return tensor[idx]

@@ -1,0 +1,87 @@
+"""Config system: CLI defaults, JSON preset merge precedence, scaling table."""
+
+import json
+import os
+
+import pytest
+
+from maua_style_tpu import config
+
+
+def test_defaults():
+    args = config.get_args(["--content", "c.png", "--style", "s.png"])
+    assert args.image_sizes == [256, 512, 724, 1024, 1448]
+    assert args.num_iters == [500, 400, 300, 200, 100]
+    assert args.optimizer == "lbfgs"
+    assert args.normalize_gradients is True
+    assert args.match_histograms is True
+    assert args.style_blend_weights == [1.0]
+    assert args.output.endswith("c_s")
+
+
+def test_sizes_iters_arity_check():
+    with pytest.raises(AssertionError):
+        config.get_args(["--content", "c.png", "--style", "s.png", "--image_sizes", "256,512", "--num_iters", "100"])
+
+
+def test_blend_weight_normalisation():
+    args = config.get_args(
+        ["--content", "c.png", "--style", "a.png", "b.png", "--style_blend_weights", "1,3"]
+    )
+    assert args.style_blend_weights == [0.25, 0.75]
+
+
+def test_load_args_merge_precedence(tmp_path):
+    """File args are base; non-default CLI flags win (reference config.py:98-116)."""
+    preset = {
+        "content": "file_content.png",
+        "style": ["file_style.png"],
+        "style_weight": 42.0,
+        "optimizer": "adam",
+        "image_sizes": "128",
+        "num_iters": "10",
+    }
+    p = tmp_path / "preset.json"
+    p.write_text(json.dumps(preset))
+    # CLI leaves style_weight at default -> file value wins; non-default CLI flag wins
+    args = config.get_args(["--load_args", str(p), "--style_scale", "2.0"])
+    assert args.style_weight == 42.0
+    assert args.optimizer == "adam"  # from file (CLI default value does not override)
+    assert args.style_scale == 2.0  # non-default CLI wins
+    assert args.content == "file_content.png"
+    # keys absent from the file fall back to CLI/defaults
+    assert args.pooling == "max"
+
+
+def test_save_args_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config.get_args(["--content", "c.png", "--style", "s.png", "--save_args", "--style_weight", "7"])
+    saved = json.loads((tmp_path / "configs" / "c_s_args.json").read_text())
+    assert saved["style_weight"] == 7.0
+
+
+def test_set_model_args_scaling_table(tmp_path):
+    table = {
+        "512": {"model_file": "vgg19", "optimizer": "lbfgs", "devices": 1},
+        "1024": {"model_file": "vgg19", "optimizer": "adam", "devices": 1},
+        "4096": {"model_file": "nin", "optimizer": "adam", "devices": 1},
+    }
+    p = tmp_path / "scaling.json"
+    p.write_text(json.dumps(table))
+    args = config.get_args(["--content", "c.png", "--style", "s.png", "--scaling_args", str(p)])
+    config.set_model_args(args, 700)
+    assert args.optimizer == "adam" and args.model_file == "vgg19"
+    config.set_model_args(args, 2000)
+    assert args.model_file == "nin"
+
+
+def test_devices_cpu_flag():
+    args = config.get_args(["--content", "c.png", "--style", "s.png", "--gpu", "c"])
+    assert all(d.platform == "cpu" for d in args.devices)
+
+
+def test_mesh_flag_parsing():
+    args = config.get_args(
+        ["--content", "c.png", "--style", "s.png", "--gpu", "0,1,2,3", "--mesh", "frames:2,space:2"]
+    )
+    assert args.mesh_shape == [("frames", 2), ("space", 2)]

@@ -1,0 +1,131 @@
+"""End-to-end engine tests: the jitted optimisation loop vs a torch replica
+of the reference hot loop (optim.py:201-241), plus smoke/convergence tests."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from maua_style_tpu.engine import StyleEngine
+from maua_style_tpu.losses import LossConfig
+from maua_style_tpu.models import select_model
+
+from test_models import build_torch_vgg, params_from_torch
+from test_losses import torch_total_loss
+
+
+def _small_setup(normalize=False, optimizer="adam"):
+    from maua_style_tpu.models.registry import CHANNEL_LIST
+
+    cfg = LossConfig(
+        content_layers=("relu2_2",),
+        style_layers=("relu1_1", "relu2_1"),
+        content_weight=5.0,
+        style_weight=100.0,
+        tv_weight=1e-3,
+        temporal_weight=0.0,
+        normalize_gradients=normalize,
+    )
+    torch.manual_seed(0)
+    net = build_torch_vgg(CHANNEL_LIST["vgg16"][:5], "max").eval()  # through relu2_2
+    spec = select_model("vgg16", "max")
+    params = params_from_torch(net, spec, strict=False)
+    engine = StyleEngine(
+        spec, params, cfg, optimizer=optimizer, learning_rate=0.1 if optimizer == "adam" else 1.0,
+        lbfgs_history=10,
+    )
+    return cfg, net, spec, params, engine
+
+
+def test_engine_matches_torch_adam_loop():
+    cfg, net, spec, params, engine = _small_setup(normalize=False, optimizer="adam")
+    name_to_idx = {layer.name: i for i, layer in enumerate(spec.layers)}
+
+    np.random.seed(0)
+    content = np.random.rand(1, 3, 16, 16).astype(np.float32) * 100 - 50
+    style = np.random.rand(1, 3, 14, 14).astype(np.float32) * 100 - 50
+    init = np.random.rand(1, 3, 16, 16).astype(np.float32) * 100 - 50
+    n_iters = 8
+
+    # torch replica of the reference loop
+    p = torch.from_numpy(init.copy()).requires_grad_(True)
+    opt = torch.optim.Adam([p], lr=0.1)
+    for _ in range(n_iters):
+        opt.zero_grad()
+        loss = torch_total_loss(
+            net, p, torch.from_numpy(content), [torch.from_numpy(style)], [1.0], cfg, name_to_idx
+        )
+        loss.backward()
+        opt.step()
+    want = p.detach().numpy()
+
+    def nhwc(a):
+        return np.transpose(a, (0, 2, 3, 1))
+
+    got = engine.optimize(nhwc(content), [nhwc(style)], nhwc(init), n_iters, blend_weights=[1.0])
+    got = np.transpose(got, (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=1e-3)
+
+
+def test_engine_matches_torch_lbfgs_loop():
+    cfg, net, spec, params, engine = _small_setup(normalize=True, optimizer="lbfgs")
+    name_to_idx = {layer.name: i for i, layer in enumerate(spec.layers)}
+
+    np.random.seed(1)
+    content = np.random.rand(1, 3, 12, 12).astype(np.float32) * 100 - 50
+    style = np.random.rand(1, 3, 12, 12).astype(np.float32) * 100 - 50
+    init = content.copy()
+    n_iters = 6
+
+    p = torch.from_numpy(init.copy()).requires_grad_(True)
+    opt = torch.optim.LBFGS([p], lr=1.0, max_iter=n_iters, history_size=10,
+                            tolerance_change=-1.0, tolerance_grad=-1.0)
+
+    def closure():
+        opt.zero_grad()
+        loss = torch_total_loss(
+            net, p, torch.from_numpy(content), [torch.from_numpy(style)], [1.0], cfg, name_to_idx
+        )
+        loss.backward()
+        return loss
+
+    opt.step(closure)
+    want = p.detach().numpy()
+
+    def nhwc(a):
+        return np.transpose(a, (0, 2, 3, 1))
+
+    got = engine.optimize(nhwc(content), [nhwc(style)], nhwc(init), n_iters, blend_weights=[1.0])
+    got = np.transpose(got, (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_engine_loss_decreases():
+    cfg, net, spec, params, engine = _small_setup(normalize=True, optimizer="adam")
+    np.random.seed(2)
+    content = np.random.rand(1, 20, 20, 3).astype(np.float32) * 100
+    style = np.random.rand(1, 20, 20, 3).astype(np.float32) * 100
+    init = np.random.randn(1, 20, 20, 3).astype(np.float32) * 0.001
+    engine.optimize(content, [style], init, 30, blend_weights=[1.0])
+    log = engine.last_loss_log
+    assert log is not None and log.shape == (30, 4)
+    assert log.sum(axis=1)[-1] < log.sum(axis=1)[0]
+
+
+def test_engine_save_callback_chunks():
+    cfg, net, spec, params, engine = _small_setup(optimizer="adam")
+    saves = []
+    content = np.random.rand(1, 12, 12, 3).astype(np.float32)
+    engine.optimize(
+        content, [content], content.copy(), 10,
+        blend_weights=[1.0], save_iter=4, save_callback=lambda arr, i: saves.append((i, arr.shape)),
+    )
+    assert [i for i, _ in saves] == [4, 8]
+
+
+def test_normalize_weights_scales_strengths():
+    cfg, net, spec, params, _ = _small_setup()
+    engine = StyleEngine(spec, params, cfg, optimizer="adam", learning_rate=0.1, normalize_weights=True)
+    content = np.random.rand(1, 12, 12, 3).astype(np.float32)
+    out = engine.optimize(content, [content], content.copy(), 3, blend_weights=[1.0])
+    assert out.shape == content.shape

@@ -1,0 +1,126 @@
+"""Parity tests for core ops against the torch-CPU oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from maua_style_tpu.ops.gaussian import gaussian_blur
+from maua_style_tpu.ops.gram import gram_matrix, batch_gram, video_gram
+from maua_style_tpu.ops.resize import resize_bilinear
+from maua_style_tpu.ops.warp import grid_sample
+
+
+def _nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+def _nchw(x_nhwc):
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((17, 23), (34, 46)), ((32, 32), (13, 57)), ((7, 9), (21, 27))])
+def test_resize_bilinear_matches_torch(in_hw, out_hw):
+    x = np.random.rand(2, 3, *in_hw).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x), size=out_hw, mode="bilinear", align_corners=False).numpy()
+    got = _nchw(np.asarray(resize_bilinear(jnp.asarray(_nhwc(x)), size=out_hw)))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_resize_scale_factor_matches_torch():
+    x = np.random.rand(1, 3, 31, 45).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x), scale_factor=0.43, mode="bilinear", align_corners=False).numpy()
+    got = _nchw(np.asarray(resize_bilinear(jnp.asarray(_nhwc(x)), scale_factor=0.43)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_gram_matches_reference_reshape():
+    # reference: reshape(B*C, H*W) @ its transpose (loss.py:84-91) on NCHW
+    x = np.random.rand(1, 5, 7, 6).astype(np.float32)  # NCHW
+    flat = x.reshape(5, 42)
+    want = flat @ flat.T
+    got = np.asarray(gram_matrix(jnp.asarray(_nhwc(x)[0])))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_video_gram_matches_reference_reshape():
+    x = np.random.rand(4, 5, 3, 6).astype(np.float32)  # NCHW, B=4
+    flat = x.reshape(4 * 5, 18)
+    want = flat @ flat.T
+    got = np.asarray(video_gram(jnp.asarray(_nhwc(x))))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gram_covariance_centres_channels():
+    x = np.random.rand(1, 4, 8, 8).astype(np.float32)
+    flat = x.reshape(4, 64)
+    centered = flat - flat.mean(1, keepdims=True)
+    want = centered @ centered.T
+    got = np.asarray(gram_matrix(jnp.asarray(_nhwc(x)[0]), use_covariance=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_batch_gram_stacks_per_frame():
+    x = np.random.rand(3, 6, 5, 4).astype(np.float32)  # NHWC
+    got = np.asarray(batch_gram(jnp.asarray(x)))
+    for i in range(3):
+        np.testing.assert_allclose(got[i], np.asarray(gram_matrix(jnp.asarray(x[i]))), atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "wrap"])
+def test_gaussian_blur_matches_scipy(mode):
+    import scipy.ndimage as ndi
+
+    x = np.random.rand(12, 3, 16, 16).astype(np.float32)
+    sigma = [2.0, 0, 1.5, 0.8]
+    want = ndi.gaussian_filter(x, sigma, mode=mode)
+    got = np.asarray(gaussian_blur(jnp.asarray(x), sigma, mode=mode))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_grid_sample_border_matches_torch():
+    x = np.random.rand(2, 3, 14, 19).astype(np.float32)
+    # sampling grid with moderate flow, partially out of bounds
+    gy, gx = np.meshgrid(np.linspace(-1.2, 1.2, 14), np.linspace(-1.1, 1.1, 19), indexing="ij")
+    grid = np.stack([gx, gy], axis=-1)[None].repeat(2, axis=0).astype(np.float32)
+    grid += np.random.randn(*grid.shape).astype(np.float32) * 0.05
+    want = F.grid_sample(
+        torch.from_numpy(x), torch.from_numpy(grid), mode="bilinear", padding_mode="border", align_corners=False
+    ).numpy()
+    got = _nchw(np.asarray(grid_sample(jnp.asarray(_nhwc(x)), jnp.asarray(grid), padding_mode="border")))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_histogram_matching_transfers_covariance():
+    from maua_style_tpu.ops.histogram import match_histogram
+
+    rng = np.random.default_rng(1)
+    target = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    source = (rng.normal(size=(1, 32, 32, 3)) @ np.diag([3.0, 0.5, 1.5]) + [10, -5, 2]).astype(np.float32)
+    out = match_histogram(target, source, mode="avg", rng=rng)
+    assert out.shape == target.shape
+    np.testing.assert_allclose(out.reshape(-1, 3).mean(0), source.reshape(-1, 3).mean(0), atol=0.3)
+    cov_out = np.cov(out.reshape(-1, 3).T)
+    cov_src = np.cov(source.reshape(-1, 3).T)
+    np.testing.assert_allclose(cov_out, cov_src, atol=0.5, rtol=0.3)
+
+
+def test_match_histogram_mode_false_is_noop():
+    from maua_style_tpu.ops.histogram import match_histogram
+
+    x = np.random.rand(1, 8, 8, 3).astype(np.float32)
+    out = match_histogram(x, x * 2, mode=False)
+    np.testing.assert_array_equal(out, x)
+
+
+def test_wrapping_slice_matches_reference():
+    from maua_style_tpu.utils import wrapping_slice
+
+    t = np.arange(10)
+    np.testing.assert_array_equal(wrapping_slice(t, 2, 4), [2, 3, 4, 5])
+    np.testing.assert_array_equal(wrapping_slice(t, 8, 4), [8, 9, 0, 1])
+    np.testing.assert_array_equal(wrapping_slice(np.ones((1, 2)), 5, 3).shape, (1, 2))
+    np.testing.assert_array_equal(wrapping_slice(t, 8, 4, return_indices=True), [8, 9, 0, 1])

@@ -1,0 +1,82 @@
+"""GSPMD sharding: spatial + frame-parallel optimisation on a virtual 8-device
+CPU mesh gives the same result as single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from maua_style_tpu.engine import StyleEngine
+from maua_style_tpu.losses import LossConfig
+from maua_style_tpu.models import select_model, init_params
+from maua_style_tpu.parallel import build_mesh, pastiche_sharding_for
+
+
+def _engine(sharding=None, optimizer="adam"):
+    cfg = LossConfig(
+        content_layers=("relu2_2",),
+        style_layers=("relu1_1", "relu2_1"),
+        tv_weight=1e-3,
+        temporal_weight=0.0,
+        normalize_gradients=True,
+    )
+    spec = select_model("vgg16", "max")
+    params = init_params(spec, seed=0)
+    return StyleEngine(
+        spec, params, cfg, optimizer=optimizer, learning_rate=0.1, pastiche_sharding=sharding
+    )
+
+
+def test_mesh_build():
+    mesh = build_mesh(jax.devices(), [("frames", 2), ("space", 4)])
+    assert mesh.shape == {"frames": 2, "space": 4}
+
+
+def test_spatial_sharding_matches_single_device():
+    np.random.seed(0)
+    content = np.random.rand(1, 32, 32, 3).astype(np.float32) * 100
+    style = np.random.rand(1, 32, 32, 3).astype(np.float32) * 100
+    init = np.random.randn(1, 32, 32, 3).astype(np.float32) * 0.001
+
+    single = _engine(None).optimize(content, [style], init.copy(), 5, blend_weights=[1.0])
+
+    mesh = build_mesh(jax.devices()[:4], [("space", 4)])
+    sharding = NamedSharding(mesh, P(None, "space", None, None))
+    sharded = _engine(sharding).optimize(content, [style], init.copy(), 5, blend_weights=[1.0])
+
+    np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=1e-4)
+
+
+def test_frame_parallel_video_batch_matches_single_device():
+    np.random.seed(1)
+    frames = 8
+    content = np.random.rand(1, 16, 16, 3).astype(np.float32) * 100
+    style = np.random.rand(1, 16, 16, 3).astype(np.float32) * 100
+    init = np.random.randn(frames, 16, 16, 3).astype(np.float32) * 0.001
+
+    single = _engine(None).optimize(content, [style], init.copy(), 4, blend_weights=[1.0])
+
+    mesh = build_mesh(jax.devices(), [("frames", 8)])
+    sharding = NamedSharding(mesh, P("frames", None, None, None))
+    sharded = _engine(sharding).optimize(content, [style], init.copy(), 4, blend_weights=[1.0])
+
+    np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=1e-4)
+
+
+def test_pastiche_sharding_for_policy():
+    class A:
+        pass
+
+    a = A()
+    a.devices = jax.devices()
+    a.mesh_shape = [("frames", 2), ("space", 4)]
+    s = pastiche_sharding_for(a)
+    assert s is not None
+    assert s.spec == P("frames", "space", None, None)
+
+    a1 = A()
+    a1.devices = jax.devices()[:1]
+    a1.mesh_shape = [("space", 1)]
+    assert pastiche_sharding_for(a1) is None

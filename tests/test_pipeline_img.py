@@ -1,0 +1,64 @@
+"""img_img pipeline: multi-resolution loop, artifact resume, save schema."""
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from maua_style_tpu import config
+from maua_style_tpu.pipelines.img_img import img_img
+
+
+def _write_image(path, seed=0, size=24):
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8).astype(np.uint8)).save(path)
+
+
+def _tiny_args(tmp_path, extra=()):
+    content = str(tmp_path / "content.png")
+    style = str(tmp_path / "style.png")
+    _write_image(content, 0)
+    _write_image(style, 1)
+    argv = [
+        "--content", content,
+        "--style", style,
+        "--output_dir", str(tmp_path / "out"),
+        "--image_sizes", "16,24",
+        "--num_iters", "4,3",
+        "--optimizer", "adam",
+        "--learning_rate", "1.0",
+        "--gpu", "c",
+        "--scaling_args", str(tmp_path / "missing.json"),  # no table -> keep CLI model
+        "--seed", "0",
+        *extra,
+    ]
+    return config.get_args(argv)
+
+
+def test_img_img_end_to_end(tmp_path):
+    args = _tiny_args(tmp_path)
+    os.makedirs(str(tmp_path / "out"), exist_ok=True)
+    img_img(args)
+    assert os.path.exists(f"{args.output}_16.png")
+    assert os.path.exists(f"{args.output}_24.png")
+    final = np.asarray(Image.open(f"{args.output}_24.png"))
+    assert final.shape == (24, 24, 3)
+
+
+def test_img_img_resume_skips_done_scales(tmp_path):
+    args = _tiny_args(tmp_path)
+    os.makedirs(str(tmp_path / "out"), exist_ok=True)
+    # pre-seed the first scale artifact; pipeline must skip it
+    _write_image(f"{args.output}_16.png", seed=9, size=16)
+    before = np.asarray(Image.open(f"{args.output}_16.png")).copy()
+    img_img(args)
+    after = np.asarray(Image.open(f"{args.output}_16.png"))
+    np.testing.assert_array_equal(before, after)
+    assert os.path.exists(f"{args.output}_24.png")
+
+
+def test_img_img_init_content(tmp_path):
+    args = _tiny_args(tmp_path, extra=("--init", "content", "--no_hist_match"))
+    os.makedirs(str(tmp_path / "out"), exist_ok=True)
+    img_img(args)
+    assert os.path.exists(f"{args.output}_24.png")
