@@ -248,7 +248,9 @@ class StyleEngine:
         else:
             targets["style"] = self.style_targets(styles, blend_weights)
 
-        output = init
+        # the full pastiche lives on host; windows move to device per scan
+        # (per-window scatters through the device tunnel are needlessly slow)
+        output = np.array(init)  # writable copy
         loss_logs = []
         for w, window_start in enumerate(windows[0]):
             if video:
@@ -256,7 +258,7 @@ class StyleEngine:
                 idx = wrapping_indices(output.shape[0], window_start, gfw)
                 if output.shape[0] == 1:
                     idx = np.zeros(1, np.int64)
-                pastiche = output[idx]
+                pastiche = jnp.asarray(output[idx])
                 if avg_frame_window != -1:
                     current = [
                         s[wrapping_indices(s.shape[0], windows[num + 1][w], avg_frame_window)]
@@ -292,12 +294,12 @@ class StyleEngine:
                     save_callback(np.asarray(pastiche), w * num_iters + done)
 
             if video:
-                output = output.at[idx].set(pastiche)
+                output[idx] = np.asarray(pastiche)
             else:
-                output = pastiche
+                output = np.asarray(pastiche)
 
         self.last_loss_log = np.concatenate(loss_logs, axis=0) if loss_logs else None
-        return np.asarray(output)
+        return output
 
 
 __all__ = ["StyleEngine"]

@@ -36,21 +36,22 @@ def flow_warp_map(filename_or_flow, current_size: tuple[int, int], smooth_sigma:
     (reference load.py:191-214): flow normalised by (W, H), gaussian-smoothed
     (sigma 5), added to the identity meshgrid, bilinearly resized.
     """
-    import jax.numpy as jnp
+    import scipy.ndimage
 
-    from ..ops.gaussian import gaussian_blur
-    from ..ops.resize import resize_bilinear
+    from ..ops.resize import resize_bilinear_np
 
     flow = read_flo(filename_or_flow) if isinstance(filename_or_flow, str) else np.asarray(filename_or_flow)
     h, w = flow.shape[:2]
     flow = flow.astype(np.float32).copy()
     flow[:, :, 0] /= w
     flow[:, :, 1] /= h
-    flow = np.asarray(gaussian_blur(jnp.asarray(flow), [smooth_sigma, smooth_sigma, 0]))
+    # host-side like the reference (load.py:206); per-frame eager device ops
+    # through the TPU tunnel cost far more than the filter itself
+    flow = scipy.ndimage.gaussian_filter(flow, [smooth_sigma, smooth_sigma, 0])
     gx, gy = np.meshgrid(np.linspace(-1, 1, w), np.linspace(-1, 1, h))
     warp = (np.stack([gx, gy], axis=-1) + flow)[None].astype(np.float32)
     if tuple(current_size) != (h, w):
-        warp = np.asarray(resize_bilinear(jnp.asarray(warp), size=tuple(current_size)))
+        warp = resize_bilinear_np(warp, size=tuple(current_size))
     return warp
 
 

@@ -69,9 +69,26 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int] | None = None, scale_fac
     return y.astype(dtype)
 
 
+def resize_bilinear_np(x: np.ndarray, size: tuple[int, int] | None = None, scale_factor: float | None = None) -> np.ndarray:
+    """Host-side numpy variant with identical semantics (for IO-adjacent code
+    where an eager device op would cost more than the resize)."""
+    if (size is None) == (scale_factor is None):
+        raise ValueError("pass exactly one of size= or scale_factor=")
+    h, w = int(x.shape[-3]), int(x.shape[-2])
+    if size is None:
+        size = scale_shape((h, w), scale_factor)
+    oh, ow = int(size[0]), int(size[1])
+    if (oh, ow) == (h, w) and scale_factor is None:
+        return x
+    wh = _interp_weights(h, oh, scale_factor)
+    ww = _interp_weights(w, ow, scale_factor)
+    y = np.einsum("oh,...hwc->...owc", wh, x.astype(np.float32))
+    return np.einsum("pw,...owc->...opc", ww, y).astype(x.dtype)
+
+
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     out_shape = (*x.shape[:-3], int(size[0]), int(size[1]), x.shape[-1])
     return jax.image.resize(x, out_shape, method="nearest")
 
 
-__all__ = ["resize_bilinear", "resize_nearest", "scale_shape"]
+__all__ = ["resize_bilinear", "resize_bilinear_np", "resize_nearest", "scale_shape"]

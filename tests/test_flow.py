@@ -67,10 +67,12 @@ def test_predict_wrapper_arbitrary_size():
 
 def test_ensemble_averages():
     class Const:
+        params = {}
+
         def __init__(self, v):
             self.v = v
 
-        def __call__(self, t1, t2):
+        def _forward(self, params, t1, t2):
             return jnp.full((1, t1.shape[1], t1.shape[2], 2), self.v, jnp.float32)
 
     import maua_style_tpu.flow as fm
