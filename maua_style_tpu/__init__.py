@@ -19,3 +19,28 @@ TPU.
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA executables across processes.
+
+    Every (shape, config) pair is a fresh XLA compile — minutes for the big
+    graphs (VQGAN+CLIP) on a tunneled TPU.  The persistent cache makes reruns
+    and artifact-resume restarts start in seconds instead.
+    """
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "MAUA_XLA_CACHE", os.path.expanduser("~/.cache/maua_style_tpu/xla")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is an optimisation; never fail import over it
+        pass
+
+
+_enable_compilation_cache()

@@ -1,0 +1,372 @@
+"""CLIP-guided VQGAN synthesis (reference: clip_vqgan.py, after Crowson).
+
+A VQGAN latent z is optimised with Adam(0.05) so CLIP embeddings of 64
+random cutouts of the decoded image approach content/style image embeddings
+and move along text directions (+style_text, -content_text), using spherical
+distances.  The whole iteration — decode, cutouts, CLIP forward, backward,
+Adam update, z clamp to the codebook range — is one jitted ``lax.scan``
+step on device.
+
+Divergences from the reference, deliberate:
+- no forced host round-trip of the codebook (clip_vqgan.py:504-505's CUDA
+  workaround doesn't apply);
+- no 2-GPU decoder split (GSPMD shards by annotation instead);
+- masks are resampled to the latent grid (the reference resamples to image
+  size and would not broadcast against z, clip_vqgan.py:451-455);
+- cutouts sample bilinearly at static shapes (see ops/cutouts.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import vqgan as vq
+from ..models.clip import CLIP, tokenize
+from ..models.clip.model import CLIP_MEAN, CLIP_STD
+from ..ops.cutouts import make_cutouts
+from ..ops.grads import clamp_with_grad, replace_grad, spherical_dist
+from ..ops.resize import resize_bilinear
+
+
+def size_to_fit(size, max_dim, scale_up=False):
+    """(w, h) scaled to fit max_dim (reference clip_vqgan.py:222-231)."""
+    w, h = size
+    if not scale_up and max(h, w) <= max_dim:
+        return w, h
+    new_w, new_h = max_dim, max_dim
+    if h > w:
+        new_w = round(max_dim * w / h)
+    else:
+        new_h = round(max_dim * h / w)
+    return new_w, new_h
+
+
+def _load_clip(clip_backbone: str) -> CLIP:
+    if clip_backbone != "ViT-B/32":
+        raise NotImplementedError(
+            f"CLIP backbone {clip_backbone!r} not implemented in the JAX port yet; use ViT-B/32"
+        )
+    for cand in ("modelzoo/clip_vitb32.npz", "modelzoo/clip-vit-b-32.npz"):
+        if os.path.exists(cand):
+            from ..models.clip.convert import load_clip_npz
+
+            return CLIP(load_clip_npz(cand))
+    print("Warning: no CLIP checkpoint (modelzoo/clip_vitb32.npz); using deterministic random init.")
+    return CLIP()
+
+
+class ClipVQGANEngine:
+    """Holds the VQGAN + CLIP params and the jitted optimisation step; the
+    equivalent of the reference's load_models + optimize/optimize_cached
+    globals (clip_vqgan.py:391-431, 566-601)."""
+
+    def __init__(
+        self,
+        vqgan_dir: str = "imagenet_16384",
+        clip_backbone: str = "ViT-B/32",
+        cutn: int = 64,
+        learning_rate: float = 0.05,
+        seed: int = 0,
+    ):
+        self.vq_params, self.vq_cfg = vq.load_vqgan(vqgan_dir, seed)
+        self.clip = _load_clip(clip_backbone)
+        self.cut_size = self.clip.input_resolution
+        self.cutn = cutn
+        self.res = self.vq_cfg.downsample_factor
+        self.learning_rate = learning_rate
+        codebook = self.vq_params["codebook"]
+        self.z_min = codebook.min(axis=0).reshape(1, 1, 1, -1)
+        self.z_max = codebook.max(axis=0).reshape(1, 1, 1, -1)
+        self._key = jax.random.PRNGKey(seed)
+        self.target_embeds = None  # [from_embed, to_embed, style_embeds] cache for optimize_cached
+
+        cfg = self.vq_cfg
+
+        def synth(vq_params, z):
+            z_q = vq.quantize(z, vq_params["codebook"])
+            out = vq.decode(vq_params, z_q, cfg)
+            return clamp_with_grad((out + 1.0) / 2.0, 0.0, 1.0)
+
+        self._synth = jax.jit(synth)
+
+        def embed_cutouts(clip_params, key, img):
+            cuts = make_cutouts(key, img, self.cut_size, self.cutn)
+            cuts = (cuts - CLIP_MEAN) / CLIP_STD
+            return CLIP._encode_image(clip_params, cuts, self.clip.cfg)
+
+        self._embed_cutouts = jax.jit(embed_cutouts)
+
+        def encode_z(vq_params, img01):
+            pre = vq.encode(vq_params, img01 * 2.0 - 1.0, cfg)
+            return jax.lax.stop_gradient(vq.quantize(pre, vq_params["codebook"]))
+
+        self._encode_z = jax.jit(encode_z)
+        self._runners: dict = {}
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- target embedding --------------------------------------------------
+
+    def embed_image(self, img01: np.ndarray) -> jax.Array:
+        """(1, H, W, 3) [0,1] -> (cutn, embed_dim) cutout embeddings."""
+        return self._embed_cutouts(self.clip.params, self._next_key(), jnp.asarray(img01, jnp.float32))
+
+    def embed_text(self, text: str | None):
+        if text is None:
+            return None
+        return self.clip.encode_text(tokenize(text))
+
+    def style_targets(self, styles, content_text, style_text):
+        style_embeds = [self.embed_image(s) for s in styles] if styles else None
+        return [self.embed_text(content_text), self.embed_text(style_text), style_embeds]
+
+    update_styles = style_targets
+
+    # -- the jitted optimisation loop --------------------------------------
+
+    def _runner_for(self, n_iters: int, n_styles: int, has_from: bool, has_to: bool, has_mask: bool,
+                    content_weight: float, style_weight: float, text_weight: float):
+        key = (n_iters, n_styles, has_from, has_to, has_mask, content_weight, style_weight, text_weight)
+        if key in self._runners:
+            return self._runners[key]
+
+        opt = optax.adam(self.learning_rate)
+        cutn, cut_size = self.cutn, self.cut_size
+        clip_cfg = self.clip.cfg
+
+        def losses_of(vq_params, clip_params, z, rng, mask, content_embed, from_embed, to_embed, style_embeds):
+            z_eff = replace_grad(z, z * mask) if has_mask else z
+            z_q = vq.quantize(z_eff, vq_params["codebook"])
+            dec = vq.decode(vq_params, z_q, self.vq_cfg)
+            out = clamp_with_grad((dec + 1.0) / 2.0, 0.0, 1.0)
+            cuts = make_cutouts(rng, out, cut_size, cutn)
+            cuts = (cuts - CLIP_MEAN) / CLIP_STD
+            out_embeds = CLIP._encode_image(clip_params, cuts, clip_cfg)
+            terms = [spherical_dist(out_embeds, content_embed).mean() * content_weight]
+            for s in range(n_styles):
+                terms.append(spherical_dist(out_embeds, style_embeds[s]).mean() * style_weight)
+            terms.append(
+                spherical_dist(out_embeds, from_embed).mean() * -text_weight if has_from else jnp.zeros(())
+            )
+            terms.append(
+                spherical_dist(out_embeds, to_embed).mean() * text_weight if has_to else jnp.zeros(())
+            )
+            return sum(terms), jnp.stack(terms)
+
+        def run(vq_params, clip_params, z, opt_state, keys, mask, content_embed, from_embed, to_embed, style_embeds):
+            def step(carry, rng):
+                z, st = carry
+                (_, terms), grad = jax.value_and_grad(losses_of, argnums=2, has_aux=True)(
+                    vq_params, clip_params, z, rng, mask, content_embed, from_embed, to_embed, style_embeds
+                )
+                updates, st = opt.update(grad, st, z)
+                z = optax.apply_updates(z, updates)
+                z = jnp.clip(z, self.z_min, self.z_max)
+                return (z, st), terms
+
+            (z, opt_state), log = jax.lax.scan(step, (z, opt_state), keys)
+            return z, opt_state, log
+
+        self._runners[key] = jax.jit(run, donate_argnums=(2, 3))
+        return self._runners[key]
+
+    # -- public API ---------------------------------------------------------
+
+    def optimize(
+        self,
+        init: np.ndarray,
+        content: np.ndarray,
+        styles: list[np.ndarray] | None,
+        mask: np.ndarray | None,
+        content_text: str | None,
+        style_text: str | None,
+        content_weight: float = 1.0,
+        style_weight: float = 1.0,
+        text_weight: float = 1.0,
+        iterations: int = 500,
+        save_every: int = 0,
+        save_callback=None,
+        target_embeds=None,
+    ) -> np.ndarray:
+        """Images are (1, H, W, 3) RGB in [0, 1].  Returns the synthesised
+        image in the same format (reference clip_vqgan.py:525-563)."""
+        h, w = init.shape[1:3]
+        side_y = (h // self.res) * self.res
+        side_x = (w // self.res) * self.res
+        init = np.asarray(resize_bilinear(jnp.asarray(init, jnp.float32), size=(side_y, side_x)))
+        content = np.asarray(resize_bilinear(jnp.asarray(content, jnp.float32), size=(side_y, side_x)))
+
+        z = self._encode_z(self.vq_params, jnp.asarray(init))
+        content_embed = self.embed_image(content)
+        if target_embeds is None:
+            target_embeds = self.style_targets(styles, content_text, style_text)
+        from_embed, to_embed, style_embeds = target_embeds
+        style_embeds = style_embeds or []
+
+        if mask is not None:
+            mask = np.asarray(
+                resize_bilinear(jnp.asarray(mask, jnp.float32), size=(z.shape[1], z.shape[2]))
+            )
+            mask_arr = jnp.asarray(mask)
+        else:
+            mask_arr = jnp.ones((), jnp.float32)
+
+        opt = optax.adam(self.learning_rate)
+        opt_state = opt.init(z)
+        runner = None
+        losses_log = []
+        done = 0
+        chunk = iterations if save_every <= 0 else save_every
+        while done < iterations:
+            n = min(chunk, iterations - done)
+            runner = self._runner_for(
+                n, len(style_embeds), from_embed is not None, to_embed is not None, mask is not None,
+                content_weight, style_weight, text_weight,
+            )
+            keys = jax.random.split(self._next_key(), n)
+            z, opt_state, log = runner(
+                self.vq_params, self.clip.params, z, opt_state, keys, mask_arr,
+                content_embed, from_embed if from_embed is not None else jnp.zeros((1, 1)),
+                to_embed if to_embed is not None else jnp.zeros((1, 1)), style_embeds,
+            )
+            losses_log.append(np.asarray(log))
+            done += n
+            if save_callback is not None:
+                save_callback(np.asarray(self._synth(self.vq_params, z)), done)
+
+        self.last_loss_log = np.concatenate(losses_log, axis=0)
+        return np.asarray(self._synth(self.vq_params, z))
+
+    def optimize_cached(self, init, content, styles, mask, content_text, style_text,
+                        content_weight, style_weight, text_weight, iterations) -> np.ndarray:
+        """Per-frame variant reusing cached style/text targets
+        (reference clip_vqgan.py:566-601)."""
+        if self.target_embeds is None:
+            self.target_embeds = self.style_targets(styles, content_text, style_text)
+        return self.optimize(
+            init, content, None, mask, None, None,
+            content_weight, style_weight, text_weight, iterations,
+            target_embeds=self.target_embeds,
+        )
+
+
+_ENGINE: ClipVQGANEngine | None = None
+
+
+def get_engine(vqgan_dir: str, clip_backbone: str) -> ClipVQGANEngine:
+    global _ENGINE
+    if _ENGINE is None:
+        _ENGINE = ClipVQGANEngine(vqgan_dir, clip_backbone)
+    return _ENGINE
+
+
+def main(argv=None):
+    """Standalone CLI (reference clip_vqgan.py:604-685)."""
+    import argparse
+    from pathlib import Path
+
+    from PIL import Image
+
+    # fmt: off
+    parser = argparse.ArgumentParser("clip_vqgan")
+    parser.add_argument("--content", type=str)
+    parser.add_argument("--content_text", type=str)
+    parser.add_argument("--style_text", type=str)
+    parser.add_argument("--style", type=str, default=None)
+    parser.add_argument("--image_size", default=256, type=int)
+    parser.add_argument("--text_weight", default=1.0, type=float)
+    parser.add_argument("--style_weight", default=1.0, type=float)
+    parser.add_argument("--content_weight", default=1.0, type=float)
+    parser.add_argument("--vqgan_dir", type=str, default="imagenet_16384")
+    parser.add_argument("--clip_backbone", type=str, default="ViT-B/32")
+    parser.add_argument("--out_dir", default="./output/")
+    parser.add_argument("--mask_path", type=str)
+    parser.add_argument("--invert_mask", action="store_true")
+    parser.add_argument("--force_square", action="store_true")
+    parser.add_argument("--iterations", default=500, type=int)
+    parser.add_argument("--seed", default=-1, type=int)
+    # fmt: on
+    args = parser.parse_args(argv)
+
+    if args.seed >= 0:
+        np.random.seed(args.seed)
+
+    out_name = (
+        "-".join(
+            [Path(args.content).stem]
+            + (args.content_text.split() if args.content_text else [])
+            + ([Path(args.style).stem] if args.style is not None else [])
+            + (args.style_text.split() if args.style_text else [])
+            + [Path(args.vqgan_dir).stem]
+        ).lower()
+        + ".jpg"
+    )
+
+    def load01(path, max_dim, force_square=False, scale_up=True):
+        img = Image.open(path).convert("RGB")
+        if force_square:
+            img = img.resize((max_dim, max_dim), Image.LANCZOS)
+        else:
+            sx, sy = size_to_fit(img.size, max_dim, scale_up)
+            img = img.resize((sx, sy), Image.LANCZOS)
+        return np.asarray(img, np.float32)[None] / 255.0
+
+    styles = None
+    if args.style is not None:
+        styles = [load01(s, args.image_size) for s in args.style.split(",")]
+
+    if args.content == "random":
+        init = np.random.rand(1, args.image_size, args.image_size, 3).astype(np.float32)
+    else:
+        init = load01(args.content, args.image_size, args.force_square)
+
+    mask = None
+    if args.mask_path:
+        pil = Image.open(args.mask_path)
+        if "A" in pil.getbands():
+            pil = pil.getchannel("A")
+        elif "L" in pil.getbands():
+            pil = pil.getchannel("L")
+        else:
+            raise RuntimeError("Mask must have an alpha channel or be one channel")
+        mask = np.asarray(pil, np.float32)[None, :, :, None] / 255.0
+        if args.invert_mask:
+            mask = 1 - mask
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    engine = ClipVQGANEngine(args.vqgan_dir, args.clip_backbone)
+
+    def save(img, i):
+        Image.fromarray((np.clip(img[0], 0, 1) * 255).astype(np.uint8)).save(args.out_dir + "/" + out_name)
+        log = getattr(engine, "last_loss_log", None)
+        if log is not None:
+            print(f"i: {i}, loss: {log[-1].sum():g} [{', '.join(f'{v:g}' for v in log[-1])}]")
+
+    out = engine.optimize(
+        init=init,
+        content=init.copy(),
+        styles=styles,
+        mask=mask,
+        content_text=args.content_text,
+        style_text=args.style_text,
+        content_weight=args.content_weight,
+        style_weight=args.style_weight,
+        text_weight=args.text_weight,
+        iterations=args.iterations,
+        save_every=50,
+        save_callback=save,
+    )
+    save(out, args.iterations)
+    print(f"saved {args.out_dir}/{out_name}")
+
+
+if __name__ == "__main__":
+    main()

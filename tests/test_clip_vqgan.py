@@ -1,0 +1,229 @@
+"""CLIP + VQGAN path: custom grads, tokenizer, model shapes, quantizer,
+cutouts, and the end-to-end guided-synthesis engine."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maua_style_tpu.ops.grads import replace_grad, clamp_with_grad, spherical_dist
+from maua_style_tpu.ops.cutouts import make_cutouts
+
+
+def test_replace_grad_routes_gradient():
+    def f(a, b):
+        return jnp.sum(replace_grad(a * 2, b * 3) ** 2)
+
+    a = jnp.asarray([1.0, 2.0])
+    b = jnp.asarray([1.0, 1.0])
+    ga, gb = jax.grad(f, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga), 0.0)
+    # forward value is a*2; d/d(out) = 2*out = [4, 8]; routed via b*3 -> *3
+    np.testing.assert_allclose(np.asarray(gb), [12.0, 24.0])
+
+
+def test_replace_grad_sum_to_shape():
+    def f(a, b):
+        return jnp.sum(replace_grad(a, b))  # a (2,3), b (1,3)
+
+    a = jnp.ones((2, 3))
+    b = jnp.ones((1, 3))
+    gb = jax.grad(f, argnums=1)(a, b)
+    np.testing.assert_allclose(np.asarray(gb), np.full((1, 3), 2.0))
+
+
+def test_clamp_with_grad_matches_torch():
+    import torch
+
+    class TorchClampWithGrad(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, input, min, max):
+            ctx.min, ctx.max = min, max
+            ctx.save_for_backward(input)
+            return input.clamp(min, max)
+
+        @staticmethod
+        def backward(ctx, grad_in):
+            (input,) = ctx.saved_tensors
+            return grad_in * (grad_in * (input - input.clamp(ctx.min, ctx.max)) >= 0), None, None
+
+    x = np.linspace(-2, 2, 11).astype(np.float32)
+    xt = torch.from_numpy(x.copy()).requires_grad_(True)
+    (TorchClampWithGrad.apply(xt, 0.0, 1.0) * torch.from_numpy(np.linspace(-1, 1, 11).astype(np.float32))).sum().backward()
+    want = xt.grad.numpy()
+
+    def f(xj):
+        return jnp.sum(clamp_with_grad(xj, 0.0, 1.0) * jnp.linspace(-1, 1, 11))
+
+    got = np.asarray(jax.grad(f)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_spherical_dist_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    x = np.random.randn(4, 16).astype(np.float32)
+    y = np.random.randn(4, 16).astype(np.float32)
+    xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+    want = (
+        F.normalize(xt, dim=-1).sub(F.normalize(yt, dim=-1)).norm(dim=-1).div(2).arcsin().pow(2).mul(2)
+    ).numpy()
+    got = np.asarray(spherical_dist(jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_tokenizer_fallback_shapes():
+    from maua_style_tpu.models.clip.tokenizer import tokenize, SOT, EOT
+
+    toks = tokenize(["a painting of a cat", "hello"])
+    assert toks.shape == (2, 77)
+    assert toks[0, 0] == SOT
+    assert EOT in toks[0]
+    # deterministic
+    np.testing.assert_array_equal(toks, tokenize(["a painting of a cat", "hello"]))
+
+
+def test_tokenizer_bpe_algorithm():
+    """Exercise the real BPE merge loop with a tiny synthetic vocab file."""
+    import os
+    from maua_style_tpu.models.clip.tokenizer import SimpleTokenizer, bytes_to_unicode
+
+    merges = "#version\nl o\nlo w</w>\n"
+    path = "/tmp/test_bpe_vocab.txt"
+    with open(path, "w") as f:
+        f.write(merges)
+    tok = SimpleTokenizer(bpe_path=path)
+    assert tok.has_vocab
+    ids = tok.encode("low")
+    # 'low' -> merges: l+o -> lo; lo + w</w> -> low</w> which is in vocab
+    assert len(ids) == 1
+    assert tok.bpe("low") == "low</w>"
+    os.remove(path)
+
+
+def test_clip_encoders_shapes():
+    from maua_style_tpu.models.clip import CLIP
+    from maua_style_tpu.models.clip.model import CLIPConfig
+
+    cfg = CLIPConfig(image_resolution=64, patch_size=32, vision_width=64, vision_layers=2, vision_heads=2,
+                     embed_dim=32, text_width=32, text_heads=2, text_layers=2, vocab_size=49408)
+    clip = CLIP(cfg=cfg)
+    img = jnp.asarray(np.random.rand(3, 64, 64, 3).astype(np.float32))
+    emb = clip.encode_image(img)
+    assert emb.shape == (3, 32)
+    toks = np.zeros((2, 77), np.int32)
+    toks[:, 0] = 49406
+    toks[:, 1] = 49407
+    temb = clip.encode_text(toks)
+    assert temb.shape == (2, 32)
+    assert np.isfinite(np.asarray(emb)).all() and np.isfinite(np.asarray(temb)).all()
+
+
+def test_clip_attention_matches_torch():
+    """Our fused-qkv attention vs torch.nn.MultiheadAttention."""
+    import torch
+
+    from maua_style_tpu.models.clip.model import attention
+
+    d, h, t = 32, 4, 7
+    torch.manual_seed(0)
+    m = torch.nn.MultiheadAttention(d, h, batch_first=True)
+    x = np.random.randn(2, t, d).astype(np.float32)
+    want = m(torch.from_numpy(x), torch.from_numpy(x), torch.from_numpy(x), need_weights=False)[0].detach().numpy()
+    p = {
+        "in_w": jnp.asarray(m.in_proj_weight.detach().numpy()),
+        "in_b": jnp.asarray(m.in_proj_bias.detach().numpy()),
+        "out_w": jnp.asarray(m.out_proj.weight.detach().numpy()),
+        "out_b": jnp.asarray(m.out_proj.bias.detach().numpy()),
+    }
+    got = np.asarray(attention(p, jnp.asarray(x), h))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_vqgan_roundtrip_shapes():
+    from maua_style_tpu.models import vqgan as vq
+
+    cfg = vq.VQGANConfig(embed_dim=8, n_embed=32, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                         attn_resolutions=(8,), resolution=16, z_channels=8)
+    params = vq.init_vqgan_params(cfg, seed=0)
+    x = jnp.asarray(np.random.rand(1, 16, 16, 3).astype(np.float32) * 2 - 1)
+    z = vq.encode(params, x, cfg)
+    assert z.shape == (1, 8, 8, 8)
+    zq = vq.quantize(z, params["codebook"])
+    out = vq.decode(params, zq, cfg)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vqgan_quantize_straight_through():
+    from maua_style_tpu.models import vqgan as vq
+
+    codebook = jnp.asarray(np.random.randn(16, 4).astype(np.float32))
+    z = jnp.asarray(np.random.randn(2, 3, 3, 4).astype(np.float32))
+    zq = vq.quantize(z, codebook)
+    # forward: every vector is a codebook row
+    flat = np.asarray(zq).reshape(-1, 4)
+    cb = np.asarray(codebook)
+    for v in flat:
+        assert np.min(np.linalg.norm(cb - v, axis=1)) < 1e-5
+    # backward: gradient passes straight through to z
+    g = jax.grad(lambda zz: jnp.sum(vq.quantize(zz, codebook) * 2.0))(z)
+    np.testing.assert_allclose(np.asarray(g), 2.0)
+
+
+def test_group_norm_matches_torch():
+    import torch
+
+    from maua_style_tpu.models.vqgan import group_norm
+
+    x = np.random.randn(2, 5, 5, 32).astype(np.float32)
+    m = torch.nn.GroupNorm(32 // 4 if False else 32, 32, eps=1e-6)
+    torch.nn.init.normal_(m.weight)
+    torch.nn.init.normal_(m.bias)
+    want = m(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).detach().numpy()
+    p = {"g": jnp.asarray(m.weight.detach().numpy()), "b": jnp.asarray(m.bias.detach().numpy())}
+    got = np.transpose(np.asarray(group_norm(p, jnp.asarray(x), groups=32)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_make_cutouts_shapes_and_range():
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.rand(1, 48, 64, 3).astype(np.float32))
+    cuts = make_cutouts(key, x, cut_size=16, cutn=8)
+    assert cuts.shape == (8, 16, 16, 3)
+    c = np.asarray(cuts)
+    assert c.min() >= 0.0 and c.max() <= 1.0
+    # different keys give different cutouts
+    cuts2 = make_cutouts(jax.random.PRNGKey(1), x, cut_size=16, cutn=8)
+    assert np.abs(np.asarray(cuts2) - c).max() > 1e-3
+
+
+def test_clip_vqgan_engine_end_to_end(monkeypatch):
+    """Tiny-config engine: loss decreases and output is a valid image."""
+    import maua_style_tpu.pipelines.clip_vqgan as cv
+    from maua_style_tpu.models import vqgan as vq
+    from maua_style_tpu.models.clip import CLIP
+    from maua_style_tpu.models.clip.model import CLIPConfig
+
+    tiny_vq = vq.VQGANConfig(embed_dim=8, n_embed=32, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                             attn_resolutions=(8,), resolution=16, z_channels=8)
+    monkeypatch.setattr(vq, "load_vqgan", lambda d, s=0: (vq.init_vqgan_params(tiny_vq, 0), tiny_vq))
+    tiny_clip = CLIPConfig(image_resolution=32, patch_size=16, vision_width=32, vision_layers=2, vision_heads=2,
+                           embed_dim=16, text_width=32, text_heads=2, text_layers=2)
+    monkeypatch.setattr(cv, "_load_clip", lambda b: CLIP(cfg=tiny_clip))
+
+    engine = cv.ClipVQGANEngine("tiny", "ViT-B/32", cutn=4)
+    init = np.random.rand(1, 35, 33, 3).astype(np.float32)  # non-multiple of res (2) -> cropped to 34x32
+    content = init.copy()
+    style = np.random.rand(1, 32, 32, 3).astype(np.float32)
+    out = engine.optimize(init, content, [style], None, None, "a style", iterations=4)
+    assert out.shape == (1, 34, 32, 3)
+    assert out.min() >= 0 and out.max() <= 1
+    log = engine.last_loss_log
+    assert log.shape == (4, 4)  # content + 1 style + from(0) + to
+
+    # cached variant reuses style targets
+    out2 = engine.optimize_cached(init, content, [style], None, None, "a style", 1.0, 1.0, 1.0, 2)
+    assert out2.shape == (1, 34, 32, 3)
