@@ -47,6 +47,8 @@ def truncate_spec(spec: ExtractorSpec, wanted: Iterable[str]) -> ExtractorSpec:
     """Spec cut off after the deepest wanted layer (reference stops building
     the net once all loss layers are inserted, models.py:382)."""
     wanted = set(wanted)
+    if not wanted:  # pixel-space losses only (e.g. TV/temporal): no feature net needed
+        return ExtractorSpec(spec.arch, (), spec.in_ch)
     names = [l.name for l in spec.layers]
     missing = wanted - set(names)
     if missing:

@@ -1,0 +1,238 @@
+"""HBM-aware maximum-size autotuner (reference: max-sizes.py).
+
+The reference OOM-probes every (model x optimizer x #GPUs) combination by
+actually running 150 iterations and catching CUDA OOM (max-sizes.py:59-111).
+On TPU the compiled program's memory footprint is known *before* execution,
+so the default probe compiles the jitted style step per candidate size and
+reads XLA's memory analysis — deterministic, and no chip time burned on
+failure.  A fast analytic estimator ("estimate") models the same footprint
+without compiling (activations + backward + optimizer state), for instant
+tables and tests.
+
+Like the reference: sizes grow by sqrt(2) from the previous safe size and
+results are rounded to multiples of 32 (max-sizes.py:36-41, 96-97); the
+table maps "model,optimizer,devices" -> {safe max, true max}.  Written to
+configs/max-sizes-{hbm}GB-{n}chip.json.
+
+Usage: python -m maua_style_tpu.tuning.max_sizes [--method estimate|analysis]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+
+DEFAULT_MODELS = ("vgg19", "vgg16", "sod", "nyud", "prune", "nin")
+DEFAULT_OPTIMIZERS = ("lbfgs", "adam")
+
+
+def _round32(x: float) -> int:
+    return int(x // 32 * 32)
+
+
+def _loss_cfg_for(model: str):
+    """Per-arch default loss layers (NIN has its own names, see
+    configs/scaling-img.json)."""
+    from ..losses import LossConfig
+
+    if model == "nin":
+        return LossConfig(
+            content_layers=("relu8",),
+            style_layers=("relu1", "relu3", "relu5", "relu7", "relu9", "relu11"),
+        )
+    return LossConfig()
+
+
+def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: int = 100,
+                        layers=None) -> int:
+    """Analytic footprint of one jitted style-transfer step at size x size.
+
+    Counts pastiche + stored forward activations (+~1x for backward buffers)
+    + Gram workspaces + optimizer state.  Constants calibrated against XLA
+    memory analysis at 1024^2 on v5e.
+    """
+    from ..models import select_model, truncate_spec
+
+    cfg = _loss_cfg_for(model)
+    spec = truncate_spec(select_model(model, "max"), cfg.all_layers)
+
+    f32 = 4
+    h = w = size
+    act_bytes = 0
+    stem_bytes = 0
+    ch = spec.in_ch
+    for layer in spec.layers:
+        if layer.kind == "conv":
+            if layer.kernel[0] >= 7 and layer.stride[0] > 1:
+                # XLA's backward for large-kernel strided stems materialises
+                # lane-padded input copies (measured ~2 GiB for NIN's 11x11/4
+                # conv at 1024^2) — dominant for NIN-style archs
+                stem_bytes += h * w * 128 * f32 * 4
+            h2 = (h + 2 * layer.pad[0] - layer.kernel[0]) // layer.stride[0] + 1
+            w2 = (w + 2 * layer.pad[1] - layer.kernel[1]) // layer.stride[1] + 1
+            h, w, ch = h2, w2, layer.out_ch
+            act_bytes += h * w * ch * f32
+        elif layer.kind in ("maxpool", "avgpool"):
+            h = -(-(h - layer.kernel[0]) // layer.stride[0]) + 1 if layer.ceil_mode else (h - layer.kernel[0]) // layer.stride[0] + 1
+            w = -(-(w - layer.kernel[1]) // layer.stride[1]) + 1 if layer.ceil_mode else (w - layer.kernel[1]) // layer.stride[1] + 1
+            act_bytes += h * w * ch * f32
+
+    pixels = size * size * 3 * f32
+    # archs with non-128-multiple channel counts (NIN's 96, prune's pruned
+    # widths) pay roughly 2x in lane-padded XLA buffers (measured)
+    arch_fudge = 2.1 if model in ("nin", "prune") else 1.0
+    total = pixels  # pastiche
+    total += (act_bytes * 2.1 + stem_bytes) * arch_fudge  # fwd residuals + bwd buffers (calibrated)
+    if optimizer == "adam":
+        total += 2 * pixels  # mu, nu
+    else:
+        # s/y circular history plus transient copies during the in-scan
+        # buffer updates (measured via XLA memory analysis), plus work vectors
+        total += 4 * lbfgs_history * pixels + 6 * pixels
+    params_bytes = 0
+    cin = spec.in_ch
+    for l in spec.conv_layers:
+        params_bytes += l.kernel[0] * l.kernel[1] * cin * l.out_ch * f32
+        cin = l.out_ch
+    total += params_bytes + 64 * 1024 * 1024  # weights + runtime slack
+    return int(total)
+
+
+def _compiled_step_bytes(model: str, optimizer: str, size: int) -> int:
+    """Compile the actual jitted step at this size and read XLA's memory
+    analysis (argument + output + temp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine import StyleEngine
+    from ..models import select_model, init_params
+
+    cfg = _loss_cfg_for(model)
+    spec = select_model(model, "max")
+    params = init_params(spec, 0)
+    engine = StyleEngine(spec, params, cfg, optimizer=optimizer, learning_rate=1.0)
+
+    shape = (1, size, size, 3)
+    targets = {
+        "content": engine.content_targets(jnp.zeros(shape)),
+        "style": engine.style_targets([jnp.zeros(shape)], [1.0]),
+    }
+    opt = engine._make_optimizer()
+    pastiche = jnp.zeros(shape)
+    opt_state = opt.init(pastiche)
+    runner = engine._runner(10, (), False)
+    lowered = runner.lower(engine.params, pastiche, opt_state, targets, jnp.ones((1, 1, 1, 1)))
+    compiled = lowered.compile()
+    mem = compiled.memory_analysis()
+    if mem is None:
+        raise RuntimeError("backend does not expose memory analysis")
+    return int(mem.argument_size_in_bytes + mem.output_size_in_bytes + mem.temp_size_in_bytes)
+
+
+def hbm_bytes() -> int:
+    import jax
+
+    stats = jax.devices()[0].memory_stats() or {}
+    return int(stats.get("bytes_limit", 16 * 1024 ** 3))
+
+
+def probe_max_sizes(
+    models=DEFAULT_MODELS,
+    optimizers=DEFAULT_OPTIMIZERS,
+    method: str = "estimate",
+    start_size: int = 512,
+    budget_bytes: int | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Build the capacity table (reference max-sizes.py:59-111)."""
+    budget = budget_bytes if budget_bytes is not None else hbm_bytes()
+    measure = estimate_step_bytes if method == "estimate" else _compiled_step_bytes
+
+    table: dict[str, dict] = {}
+    prev_safe = start_size
+    for model in models:
+        for optimizer in optimizers:
+            size = max(_round32(prev_safe / math.sqrt(2)), 256)
+            safe, true = None, None
+            while size < 16384:
+                try:
+                    needed = measure(model, optimizer, size)
+                except Exception as e:  # compile-level OOM counts as failure
+                    if verbose:
+                        print(f"{model}+{optimizer}@{size}: probe error {e}")
+                    needed = budget + 1
+                if needed <= budget:
+                    safe = size
+                    size = _round32(size * math.sqrt(2))
+                else:
+                    true = size
+                    break
+            # first candidate already over budget: walk down to find a fit
+            while safe is None and true is not None and true > 64:
+                size = max(_round32(true / math.sqrt(2)), 32)
+                if measure(model, optimizer, size) <= budget:
+                    safe = size
+                else:
+                    true = size
+            # refine between safe and true at x32 granularity (bisection)
+            if safe is not None and true is not None:
+                lo, hi = safe, true
+                while hi - lo > 32:
+                    mid = _round32((lo + hi) / 2)
+                    if mid in (lo, hi):
+                        break
+                    if measure(model, optimizer, mid) <= budget:
+                        lo = mid
+                    else:
+                        hi = mid
+                safe, true = lo, hi
+            key = f"{model},{optimizer},{jax_device_count()}"
+            table[key] = {
+                "model": model,
+                "optimizer": optimizer,
+                "devices": jax_device_count(),
+                "safe_max_size": safe,
+                "true_max_size": true,
+                "budget_gb": round(budget / 1024 ** 3, 2),
+                "method": method,
+            }
+            if verbose:
+                print(f"{key}: safe {safe} / true {true}")
+            prev_safe = safe or prev_safe
+    return table
+
+
+def jax_device_count() -> int:
+    import jax
+
+    return len(jax.devices())
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser("max_sizes")
+    ap.add_argument("--method", choices=["estimate", "analysis"], default="estimate")
+    ap.add_argument("--models", default=",".join(DEFAULT_MODELS))
+    ap.add_argument("--optimizers", default=",".join(DEFAULT_OPTIMIZERS))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    table = probe_max_sizes(
+        models=args.models.split(","),
+        optimizers=args.optimizers.split(","),
+        method=args.method,
+    )
+    gb = round(hbm_bytes() / 1024 ** 3)
+    out = args.out or f"configs/max-sizes-{gb}GB-{jax_device_count()}chip.json"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(table, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
