@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Mesh shape, e.g. 'space:2' or 'frames:2,space:4'; default: all selected devices on 'space'")
     parser.add_argument("--precision", choices=["highest", "high", "default"], default="highest",
                         help="Conv/matmul MXU precision: 'highest'=full f32, 'default'=bf16 passes")
+    parser.add_argument("--compute_dtype", choices=["float32", "bfloat16"], default="float32",
+                        help="Feature-net activation dtype; bfloat16 trades a little fidelity for ~2x step speed")
     parser.add_argument("--backend", default="xla", help="accepted for reference CLI compat; ignored")
     parser.add_argument("--multidevice_strategy", default="5", help="accepted for reference CLI compat; ignored (GSPMD shards automatically)")
     parser.add_argument("--no_cudnn_autotune", action="store_true", help="accepted for reference CLI compat; ignored")

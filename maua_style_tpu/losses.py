@@ -35,6 +35,27 @@ import jax.numpy as jnp
 from .ops.gram import batch_gram, video_gram
 
 
+import os as _os
+
+_USE_PALLAS_GRAM = _os.environ.get("MAUA_PALLAS_GRAM", "0") == "1"
+
+
+def _style_gram(a: jax.Array, use_covariance: bool) -> jax.Array:
+    """Per-frame Grams.
+
+    An explicit Pallas kernel exists (ops/pallas_gram.py) and wins in
+    isolation, but measured IN CONTEXT it loses ~15% end-to-end: the
+    custom-call boundary forces the activation to materialise instead of
+    fusing into XLA's surrounding conv pipeline.  XLA's own contraction is
+    therefore the default; set MAUA_PALLAS_GRAM=1 to compare.
+    """
+    if _USE_PALLAS_GRAM and jax.default_backend() == "tpu":
+        from .ops.pallas_gram import gram_nhwc
+
+        return gram_nhwc(a, use_covariance)
+    return batch_gram(a, use_covariance)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def scale_gradients(x: jax.Array, strength: float) -> jax.Array:
     """Identity forward; backward L2-normalises the gradient and scales by
@@ -55,7 +76,8 @@ scale_gradients.defvjp(_sg_fwd, _sg_bwd)
 
 
 def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
-    return jnp.mean(jnp.square(a - b))
+    # accumulate in f32 even for bf16 activations
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
 
 
 def _term(value: jax.Array, strength: float, frames: int, normalize: bool) -> jax.Array:
@@ -104,7 +126,7 @@ class LossConfig:
 def capture_content_targets(extract_fn, content: jax.Array, cfg: LossConfig) -> dict[str, jax.Array]:
     """Content activations (reference optim.py:22-33)."""
     acts = extract_fn(content, cfg.content_layers)
-    return {l: jax.lax.stop_gradient(acts[l]) for l in cfg.content_layers}
+    return {l: jax.lax.stop_gradient(acts[l].astype(jnp.float32)) for l in cfg.content_layers}
 
 
 def capture_style_targets(
@@ -124,7 +146,7 @@ def capture_style_targets(
         for l in cfg.style_layers:
             a = acts[l]
             nelement = a.shape[1] * a.shape[2] * a.shape[3]
-            gram = batch_gram(a, cfg.use_covariance) / nelement  # (B, C, C)
+            gram = _style_gram(a, cfg.use_covariance) / nelement  # (B, C, C)
             contrib = bw * gram.mean(axis=0)
             targets[l] = targets.get(l, 0) + jax.lax.stop_gradient(contrib)
     return targets
@@ -150,7 +172,7 @@ def capture_style_video_targets(
             for l in cfg.style_layers:
                 a = acts[l]
                 per_frame_nel = a.shape[1] * a.shape[2] * a.shape[3]
-                gram = batch_gram(a, cfg.use_covariance) / per_frame_nel
+                gram = _style_gram(a, cfg.use_covariance) / per_frame_nel
                 static[l] = static.get(l, 0) + jax.lax.stop_gradient(w_eff * gram.mean(axis=0))
                 if cfg.video_style_factor > 0:
                     vg = video_gram(a, cfg.use_covariance) / (a.size)
@@ -217,7 +239,7 @@ def evaluate_losses(
         a = acts[l]
         nelement = a.shape[1] * a.shape[2] * a.shape[3]
         if l in style_targets:
-            grams = batch_gram(a, cfg.use_covariance) / nelement  # (B, C, C)
+            grams = _style_gram(a, cfg.use_covariance) / nelement  # (B, C, C)
             tgt = style_targets[l]
             for i in range(b):
                 v = v + _term(_mse(grams[i], tgt), strength, b, cfg.normalize_gradients)

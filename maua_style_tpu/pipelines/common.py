@@ -36,6 +36,9 @@ def build_engine(args, current_size: int | None = None) -> StyleEngine:
         set_model_args(args, current_size)
     spec = select_model(str(args.model_file).lower(), args.pooling)
     params = load_params(spec, str(args.model_file), strict=not args.disable_check)
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if str(getattr(args, "compute_dtype", "float32")) in ("bfloat16", "bf16") else jnp.float32
     return StyleEngine(
         spec,
         params,
@@ -45,6 +48,7 @@ def build_engine(args, current_size: int | None = None) -> StyleEngine:
         lbfgs_history=int(args.lbfgs_num_correction),
         precision=getattr(args, "precision", "highest"),
         normalize_weights=bool(args.normalize_weights),
+        compute_dtype=compute_dtype,
         pastiche_sharding=pastiche_sharding_for(args),
         verbose=bool(args.verbose),
     )

@@ -193,3 +193,23 @@ def test_deconv_matches_torch_convtranspose():
         got = np.transpose(np.asarray(deconv(params, "d", jnp.asarray(np.transpose(x, (0, 2, 3, 1))))), (0, 3, 1, 2))
         assert got.shape == want.shape, (got.shape, want.shape)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_gram_interpret_matches_xla():
+    from maua_style_tpu.ops.pallas_gram import gram_pallas, gram_nhwc
+    from maua_style_tpu.ops.gram import batch_gram
+
+    f = jnp.asarray(np.random.rand(300, 70).astype(np.float32))  # unaligned N and C
+    want = np.asarray(jnp.dot(f.T, f))
+    got = np.asarray(gram_pallas(f, True))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-4)
+
+    a = jnp.asarray(np.random.rand(2, 9, 11, 33).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(gram_nhwc(a, interpret=True)), np.asarray(batch_gram(a)), atol=1e-3, rtol=1e-4
+    )
+
+    # backward routes through f @ (g + g^T)
+    g = jax.grad(lambda x: jnp.sum(gram_pallas(x, True) * 2.0))(f)
+    g_want = jax.grad(lambda x: jnp.sum(jnp.dot(x.T, x) * 2.0))(f)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_want), atol=1e-3, rtol=1e-3)
