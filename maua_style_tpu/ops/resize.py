@@ -69,9 +69,23 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int] | None = None, scale_fac
     return y.astype(dtype)
 
 
+def _gather_coords(in_len: int, out_len: int, scale: float | None):
+    inv = (1.0 / scale) if (scale is not None and scale > 0) else (in_len / out_len)
+    src = np.clip((np.arange(out_len, dtype=np.float64) + 0.5) * inv - 0.5, 0.0, in_len - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    t = (src - lo).astype(np.float32)
+    return lo, hi, t
+
+
 def resize_bilinear_np(x: np.ndarray, size: tuple[int, int] | None = None, scale_factor: float | None = None) -> np.ndarray:
-    """Host-side numpy variant with identical semantics (for IO-adjacent code
-    where an eager device op would cost more than the resize)."""
+    """Host-side variant with identical semantics (for IO-adjacent per-frame
+    code where an eager device op would cost more than the resize).
+
+    Uses the threaded native C kernel when built (maua_style_tpu/native),
+    else a 2-tap numpy gather — never the dense interpolation matrices the
+    device path uses (those are MXU-friendly but O(out*in) on host).
+    """
     if (size is None) == (scale_factor is None):
         raise ValueError("pass exactly one of size= or scale_factor=")
     h, w = int(x.shape[-3]), int(x.shape[-2])
@@ -80,10 +94,23 @@ def resize_bilinear_np(x: np.ndarray, size: tuple[int, int] | None = None, scale
     oh, ow = int(size[0]), int(size[1])
     if (oh, ow) == (h, w) and scale_factor is None:
         return x
-    wh = _interp_weights(h, oh, scale_factor)
-    ww = _interp_weights(w, ow, scale_factor)
-    y = np.einsum("oh,...hwc->...owc", wh, x.astype(np.float32))
-    return np.einsum("pw,...owc->...opc", ww, y).astype(x.dtype)
+
+    from ..native import resize_bilinear_native
+
+    native = resize_bilinear_native(np.asarray(x, np.float32), oh, ow, scale_factor)
+    if native is not None:
+        return native.astype(x.dtype)
+
+    y0, y1, ty = _gather_coords(h, oh, scale_factor)
+    x0, x1, tx = _gather_coords(w, ow, scale_factor)
+    xf = np.asarray(x, np.float32)
+    top = xf[..., y0, :, :]
+    bot = xf[..., y1, :, :]
+    rows = top + ty[:, None, None] * (bot - top)  # (..., oh, W, C)
+    left = rows[..., :, x0, :]
+    right = rows[..., :, x1, :]
+    out = left + tx[None, :, None] * (right - left)
+    return out.astype(x.dtype)
 
 
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:

@@ -50,6 +50,13 @@ def distance_matrix(hists: np.ndarray, cache_path: str | None = None) -> np.ndar
     loops in Python)."""
     if cache_path and os.path.exists(cache_path):
         return np.load(cache_path)
+    from ..native import chi2_matrix_native
+
+    native = chi2_matrix_native(hists)
+    if native is not None:
+        if cache_path:
+            np.save(cache_path, native)
+        return native
     flat = hists.reshape(len(hists), -1)
     a = flat[:, None, :]
     b = flat[None, :, :]
