@@ -124,14 +124,22 @@ def apply_extractor(
     for layer in spec.layers:
         if layer.kind == "conv":
             p = params[layer.name]
-            x = jax.lax.conv_general_dilated(
-                x,
-                p["w"].astype(x.dtype),
-                window_strides=layer.stride,
-                padding=[(layer.pad[0], layer.pad[0]), (layer.pad[1], layer.pad[1])],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                precision=precision,
-            ) + p["b"].astype(x.dtype)
+            if layer.kernel[0] >= 7 and layer.stride[0] > 1 and layer.pad == (0, 0):
+                # large-kernel strided stems (NIN's 11x11/s4): space-to-depth
+                # packing — XLA's direct lowering wastes GiBs in backward
+                # (PERF.md); mathematically identical (tested)
+                from ..ops.space_to_depth import stem_conv_s2d
+
+                x = stem_conv_s2d(x, p["w"], p["b"], layer.stride[0], precision)
+            else:
+                x = jax.lax.conv_general_dilated(
+                    x,
+                    p["w"].astype(x.dtype),
+                    window_strides=layer.stride,
+                    padding=[(layer.pad[0], layer.pad[0]), (layer.pad[1], layer.pad[1])],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=precision,
+                ) + p["b"].astype(x.dtype)
         elif layer.kind == "relu":
             x = jnp.maximum(x, 0)
         elif layer.kind in ("maxpool", "avgpool"):

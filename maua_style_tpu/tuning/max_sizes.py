@@ -66,11 +66,8 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
     ch = spec.in_ch
     for layer in spec.layers:
         if layer.kind == "conv":
-            if layer.kernel[0] >= 7 and layer.stride[0] > 1:
-                # XLA's backward for large-kernel strided stems materialises
-                # lane-padded input copies (measured ~2 GiB for NIN's 11x11/4
-                # conv at 1024^2) — dominant for NIN-style archs
-                stem_bytes += h * w * 128 * f32 * 4
+            # large-kernel strided stems run through space-to-depth packing
+            # (ops/space_to_depth.py), so no extra stem buffers remain
             h2 = (h + 2 * layer.pad[0] - layer.kernel[0]) // layer.stride[0] + 1
             w2 = (w + 2 * layer.pad[1] - layer.kernel[1]) // layer.stride[1] + 1
             h, w, ch = h2, w2, layer.out_ch
@@ -81,9 +78,9 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
             act_bytes += h * w * ch * f32
 
     pixels = size * size * 3 * f32
-    # archs with non-128-multiple channel counts (NIN's 96, prune's pruned
-    # widths) pay roughly 2x in lane-padded XLA buffers (measured)
-    arch_fudge = 2.1 if model in ("nin", "prune") else 1.0
+    # prune's odd channel counts (22/24/41/...) pay ~2x in lane-padded XLA
+    # buffers (measured); nin's overhead vanished with the s2d stem
+    arch_fudge = 2.1 if model == "prune" else 1.0
     total = pixels  # pastiche
     total += (act_bytes * 2.1 + stem_bytes) * arch_fudge  # fwd residuals + bwd buffers (calibrated)
     if optimizer == "adam":

@@ -147,3 +147,23 @@ def test_init_params_deterministic():
     a = init_params(spec, seed=0)
     b = init_params(spec, seed=0)
     np.testing.assert_array_equal(np.asarray(a["conv3_1"]["w"]), np.asarray(b["conv3_1"]["w"]))
+
+
+def test_space_to_depth_stem_equivalent():
+    """s2d-packed stem conv == direct strided conv (NIN's 11x11/s4)."""
+    import jax
+    import jax.numpy as jnp
+    from maua_style_tpu.ops.space_to_depth import stem_conv_s2d
+
+    rng = np.random.default_rng(0)
+    for k, s, h, w in [(11, 4, 67, 83), (7, 2, 33, 40), (11, 4, 64, 64)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)).astype(np.float32))
+        wgt = jnp.asarray(rng.standard_normal((k, k, 3, 8)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+        direct = jax.lax.conv_general_dilated(
+            x, wgt, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ) + b
+        packed = stem_conv_s2d(x, wgt, b, s, jax.lax.Precision.HIGHEST)
+        assert packed.shape == direct.shape
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(direct), atol=2e-4, rtol=1e-4)
