@@ -47,10 +47,22 @@ def size_to_fit(size, max_dim, scale_up=False):
     return new_w, new_h
 
 
-def _load_clip(clip_backbone: str) -> CLIP:
+def _load_clip(clip_backbone: str):
+    from ..models.clip.resnet import RESNET_CONFIGS, CLIPResNet
+
+    if clip_backbone in RESNET_CONFIGS:
+        slug = clip_backbone.lower()
+        for cand in (f"modelzoo/clip_{slug}.npz",):
+            if os.path.exists(cand):
+                from ..models.clip.convert import load_clip_npz
+
+                return CLIPResNet(clip_backbone, load_clip_npz(cand))
+        print(f"Warning: no CLIP checkpoint (modelzoo/clip_{slug}.npz); using deterministic random init.")
+        return CLIPResNet(clip_backbone)
     if clip_backbone != "ViT-B/32":
         raise NotImplementedError(
-            f"CLIP backbone {clip_backbone!r} not implemented in the JAX port yet; use ViT-B/32"
+            f"CLIP backbone {clip_backbone!r} not implemented in the JAX port yet; "
+            "use ViT-B/32, RN50, RN101, or RN50x4"
         )
     for cand in ("modelzoo/clip_vitb32.npz", "modelzoo/clip-vit-b-32.npz"):
         if os.path.exists(cand):
@@ -88,6 +100,15 @@ class ClipVQGANEngine:
 
         cfg = self.vq_cfg
 
+        from ..models.clip.resnet import CLIPResNet, encode_image_resnet
+
+        if isinstance(self.clip, CLIPResNet):
+            rn_cfg = self.clip.rn_cfg
+            self._image_encoder = lambda prm, imgs: encode_image_resnet(prm, imgs, rn_cfg)
+        else:
+            clip_cfg = self.clip.cfg
+            self._image_encoder = lambda prm, imgs: CLIP._encode_image(prm, imgs, clip_cfg)
+
         def synth(vq_params, z):
             z_q = vq.quantize(z, vq_params["codebook"])
             out = vq.decode(vq_params, z_q, cfg)
@@ -98,7 +119,7 @@ class ClipVQGANEngine:
         def embed_cutouts(clip_params, key, img):
             cuts = make_cutouts(key, img, self.cut_size, self.cutn)
             cuts = (cuts - CLIP_MEAN) / CLIP_STD
-            return CLIP._encode_image(clip_params, cuts, self.clip.cfg)
+            return self._image_encoder(clip_params, cuts)
 
         self._embed_cutouts = jax.jit(embed_cutouts)
 
@@ -140,7 +161,7 @@ class ClipVQGANEngine:
 
         opt = optax.adam(self.learning_rate)
         cutn, cut_size = self.cutn, self.cut_size
-        clip_cfg = self.clip.cfg
+        image_encoder = self._image_encoder
 
         def losses_of(vq_params, clip_params, z, rng, mask, content_embed, from_embed, to_embed, style_embeds):
             z_eff = replace_grad(z, z * mask) if has_mask else z
@@ -149,7 +170,7 @@ class ClipVQGANEngine:
             out = clamp_with_grad((dec + 1.0) / 2.0, 0.0, 1.0)
             cuts = make_cutouts(rng, out, cut_size, cutn)
             cuts = (cuts - CLIP_MEAN) / CLIP_STD
-            out_embeds = CLIP._encode_image(clip_params, cuts, clip_cfg)
+            out_embeds = image_encoder(clip_params, cuts)
             terms = [spherical_dist(out_embeds, content_embed).mean() * content_weight]
             for s in range(n_styles):
                 terms.append(spherical_dist(out_embeds, style_embeds[s]).mean() * style_weight)

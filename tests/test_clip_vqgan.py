@@ -227,3 +227,66 @@ def test_clip_vqgan_engine_end_to_end(monkeypatch):
     # cached variant reuses style targets
     out2 = engine.optimize_cached(init, content, [style], None, None, "a style", 1.0, 1.0, 1.0, 2)
     assert out2.shape == (1, 34, 32, 3)
+
+
+def test_clip_resnet_backbones_shapes():
+    from maua_style_tpu.models.clip.resnet import CLIPResNet, RESNET_CONFIGS, ResNetConfig, init_resnet_visual, encode_image_resnet
+
+    # tiny RN-style config for speed: 1-block stages, width 16
+    tiny = ResNetConfig(layers=(1, 1, 1, 1), width=16, embed_dim=32, image_resolution=64, heads=8)
+    params = init_resnet_visual(tiny, seed=0)
+    x = jnp.asarray(np.random.rand(2, 64, 64, 3).astype(np.float32))
+    emb = encode_image_resnet(params, x, tiny)
+    assert emb.shape == (2, 32)
+    assert np.isfinite(np.asarray(emb)).all()
+
+    # real RN50 config constructs and encodes text
+    rn = CLIPResNet("RN50")
+    toks = np.zeros((1, 77), np.int32)
+    toks[0, 0] = 49406
+    toks[0, 1] = 49407
+    t = rn.encode_text(toks)
+    assert t.shape == (1, RESNET_CONFIGS["RN50"].embed_dim)
+    assert rn.input_resolution == 224
+
+
+def test_clip_resnet_bn_matches_torch():
+    import torch
+
+    from maua_style_tpu.models.clip.resnet import bn
+
+    m = torch.nn.BatchNorm2d(8).eval()
+    with torch.no_grad():
+        m.running_mean.normal_()
+        m.running_var.uniform_(0.5, 2.0)
+        m.weight.normal_()
+        m.bias.normal_()
+    x = np.random.randn(2, 8, 5, 5).astype(np.float32)
+    want = m(torch.from_numpy(x)).detach().numpy()
+    p = {
+        "g": jnp.asarray(m.weight.detach().numpy()),
+        "b": jnp.asarray(m.bias.detach().numpy()),
+        "mean": jnp.asarray(m.running_mean.numpy()),
+        "var": jnp.asarray(m.running_var.numpy()),
+    }
+    got = np.transpose(np.asarray(bn(p, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_engine_with_resnet_backbone(monkeypatch):
+    import maua_style_tpu.pipelines.clip_vqgan as cv
+    from maua_style_tpu.models import vqgan as vq
+    from maua_style_tpu.models.clip.resnet import CLIPResNet, ResNetConfig
+    import maua_style_tpu.models.clip.resnet as rn
+
+    tiny_vq = vq.VQGANConfig(embed_dim=8, n_embed=32, ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                             attn_resolutions=(8,), resolution=16, z_channels=8)
+    monkeypatch.setattr(vq, "load_vqgan", lambda d, s=0: (vq.init_vqgan_params(tiny_vq, 0), tiny_vq))
+    tiny_rn = ResNetConfig(layers=(1, 1, 1, 1), width=16, embed_dim=16, image_resolution=32, heads=8)
+    monkeypatch.setitem(rn.RESNET_CONFIGS, "RN50", tiny_rn)
+    monkeypatch.setitem(CLIPResNet.TEXT_CFGS, "RN50", (32, 2, 1))
+
+    engine = cv.ClipVQGANEngine("tiny", "RN50", cutn=4)
+    init = np.random.rand(1, 34, 34, 3).astype(np.float32)
+    out = engine.optimize(init, init.copy(), None, None, None, "a style", iterations=2)
+    assert out.shape[0] == 1 and np.isfinite(out).all()
