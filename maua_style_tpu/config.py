@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--print_iter", type=int, default=0)
     parser.add_argument("--save_iter", type=int, default=0)
     parser.add_argument("--save_args", action="store_true")
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="orbax run-state checkpoint interval in iterations (0=off); resumes optimizer state across crashes")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of one optimization chunk into this directory")
     parser.add_argument("--load_args", type=str, default=None)
     parser.add_argument("--ffmpeg_args", type=str, default="configs/ffmpeg-libx264.json")
     parser.add_argument("--scaling_args", type=str, default="configs/scaling-img.json",

@@ -213,11 +213,20 @@ class StyleEngine:
         temporal_weights=None,
         save_iter: int = 0,
         save_callback: Callable[[np.ndarray, int], None] | None = None,
+        run_checkpoint: str | None = None,
+        checkpoint_every: int = 0,
+        profile_dir: str | None = None,
     ) -> np.ndarray:
         """Optimise a pastiche (image or video batch) against content+style
         targets; the functional equivalent of reference optim.optimize
         (optim.py:111-255), including the circular temporal window schedule
         for video styles.
+
+        ``run_checkpoint``: orbax directory for interruptible runs — saves
+        (output, pastiche, optimizer state, window, iteration) every
+        ``checkpoint_every`` iterations (default: every chunk) and resumes
+        with optimizer state intact (the reference can only resume from
+        pixels).  ``profile_dir``: capture a jax.profiler trace of one chunk.
         """
         content = jnp.asarray(content, jnp.float32)
         styles = [jnp.asarray(s, jnp.float32) for s in styles]
@@ -252,7 +261,22 @@ class StyleEngine:
         # (per-window scatters through the device tunnel are needlessly slow)
         output = np.array(init)  # writable copy
         loss_logs = []
+
+        resume = None
+        if run_checkpoint is not None:
+            from .checkpoint import load_state
+
+            probe_pastiche = jnp.asarray(output[: min(gfw, output.shape[0])])
+            probe_state = self._make_optimizer().init(probe_pastiche)
+            restored = load_state(run_checkpoint, {"output": output, "pastiche": probe_pastiche}, probe_state)
+            if restored is not None:
+                blob, opt_restored, r_w, r_done = restored
+                output = np.array(blob["output"])
+                resume = (jnp.asarray(blob["pastiche"]), opt_restored, r_w, r_done)
+
         for w, window_start in enumerate(windows[0]):
+            if resume is not None and w < resume[2]:
+                continue  # window already completed per checkpoint
             if video:
                 front_overlap, end_overlap = window_overlaps(windows[0], w, window_start, gfw, output.shape[0])
                 idx = wrapping_indices(output.shape[0], window_start, gfw)
@@ -281,22 +305,62 @@ class StyleEngine:
             scale_key = self._strength_scale(targets)
             opt = self._make_optimizer()
             opt_state = opt.init(pastiche)
+            done = 0
+            if resume is not None and w == resume[2]:
+                pastiche, opt_state, _, done = resume
+                resume = None
 
             chunk = num_iters if save_iter <= 0 else save_iter
-            done = 0
+            if checkpoint_every > 0:
+                chunk = min(chunk, checkpoint_every)
+            profiled = False
             while done < num_iters:
                 this = min(chunk, num_iters - done)
                 runner = self._runner(this, scale_key, masked)
-                pastiche, opt_state, log = runner(self.params, pastiche, opt_state, targets, mask)
+                if profile_dir is not None and not profiled:
+                    # compile outside the trace (no execution: args are donated)
+                    runner.lower(self.params, pastiche, opt_state, targets, mask).compile()
+                    with jax.profiler.trace(profile_dir):
+                        pastiche, opt_state, log = runner(self.params, pastiche, opt_state, targets, mask)
+                        jax.block_until_ready(pastiche)
+                    profiled = True
+                else:
+                    pastiche, opt_state, log = runner(self.params, pastiche, opt_state, targets, mask)
                 done += this
                 loss_logs.append(np.asarray(log))
                 if save_callback is not None and done < num_iters:
                     save_callback(np.asarray(pastiche), w * num_iters + done)
+                if run_checkpoint is not None and done < num_iters:
+                    from .checkpoint import save_state
+
+                    save_state(
+                        run_checkpoint,
+                        {"output": output, "pastiche": np.asarray(pastiche)},
+                        opt_state,
+                        w,
+                        done,
+                    )
 
             if video:
                 output[idx] = np.asarray(pastiche)
             else:
                 output = np.asarray(pastiche)
+
+            if run_checkpoint is not None and w + 1 < len(windows[0]):
+                from .checkpoint import save_state
+
+                save_state(
+                    run_checkpoint,
+                    {"output": output, "pastiche": np.asarray(pastiche)},
+                    opt_state,
+                    w + 1,
+                    0,
+                )
+
+        if run_checkpoint is not None:
+            import shutil
+
+            shutil.rmtree(run_checkpoint, ignore_errors=True)  # run completed
 
         self.last_loss_log = np.concatenate(loss_logs, axis=0) if loss_logs else None
         return output

@@ -62,6 +62,9 @@ def img_img(args) -> np.ndarray | None:
             blend_weights=args.style_blend_weights,
             save_iter=args.save_iter,
             save_callback=save_snapshot if args.save_iter > 0 else None,
+            run_checkpoint=f"{args.output}_{current_size}_runstate" if getattr(args, "checkpoint_every", 0) else None,
+            checkpoint_every=getattr(args, "checkpoint_every", 0),
+            profile_dir=getattr(args, "profile_dir", None),
         )
 
         pastiche = match_histogram(output_image, style_images_big, mode=args.match_histograms)

@@ -129,3 +129,59 @@ def test_normalize_weights_scales_strengths():
     content = np.random.rand(1, 12, 12, 3).astype(np.float32)
     out = engine.optimize(content, [content], content.copy(), 3, blend_weights=[1.0])
     assert out.shape == content.shape
+
+
+def test_run_checkpoint_resume_preserves_optimizer_state(tmp_path):
+    """Interrupt an optimisation mid-way; resuming from the run checkpoint
+    continues the exact trajectory (optimizer state intact)."""
+    cfg, net, spec, params, engine = _small_setup(optimizer="adam")
+    np.random.seed(4)
+    content = np.random.rand(1, 12, 12, 3).astype(np.float32) * 100
+    style = np.random.rand(1, 12, 12, 3).astype(np.float32) * 100
+    init = np.random.randn(1, 12, 12, 3).astype(np.float32) * 0.001
+
+    full = engine.optimize(content, [style], init.copy(), 10, blend_weights=[1.0])
+
+    ckpt = str(tmp_path / "run_ckpt")
+    # simulate an interruption: run 10 iters with checkpointing every 5,
+    # then delete nothing and resume — the second call must pick up at 5
+    engine2 = _small_setup(optimizer="adam")[4]
+
+    calls = []
+    orig_runner = engine2._runner
+
+    def counting_runner(n, sk, m):
+        calls.append(n)
+        return orig_runner(n, sk, m)
+
+    engine2._runner = counting_runner
+    # first phase: checkpoint after 5, then raise to simulate a crash
+    from maua_style_tpu.engine import checkpoint as ck
+
+    orig_save = ck.save_state
+    state = {"crashed": False}
+
+    def crashing_save(path, *a, **k):
+        orig_save(path, *a, **k)
+        state["crashed"] = True
+        raise KeyboardInterrupt
+
+    ck.save_state = crashing_save
+    try:
+        engine2.optimize(content, [style], init.copy(), 10, blend_weights=[1.0],
+                         run_checkpoint=ckpt, checkpoint_every=5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ck.save_state = orig_save
+    assert state["crashed"]
+    import os
+
+    assert os.path.exists(ckpt)
+
+    calls.clear()
+    resumed = engine2.optimize(content, [style], init.copy(), 10, blend_weights=[1.0],
+                               run_checkpoint=ckpt, checkpoint_every=5)
+    assert calls == [5]  # only the remaining 5 iterations ran
+    np.testing.assert_allclose(resumed, full, atol=1e-4, rtol=1e-4)
+    assert not os.path.exists(ckpt)  # cleaned up on completion
