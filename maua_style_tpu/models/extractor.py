@@ -97,6 +97,13 @@ def _pool(x: jax.Array, layer: Layer) -> jax.Array:
     strides = (1, sh, sw, 1)
     padding = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
     if layer.kind == "maxpool":
+        if (kh, kw) == (sh, sw) and kh == kw and not layer.ceil_mode:
+            # non-overlapping pools (all VGG pools): compare-and-mask backward
+            # instead of XLA's slow select_and_scatter (~13% of the style step,
+            # see PERF.md); cropping to a multiple of k == VALID/floor semantics
+            from ..ops.fast_pool import max_pool_fast
+
+            return max_pool_fast(x[:, : h // kh * kh, : w // kw * kw], kh)
         return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, dims, strides, padding)
     # avg pool: divide by the number of in-bounds elements per window
     # (torch AvgPool2d with ceil_mode ignores out-of-bound positions)

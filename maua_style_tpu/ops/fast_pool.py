@@ -1,0 +1,53 @@
+"""Fast max-pool backward for TPU.
+
+XLA lowers the gradient of a max reduce_window to ``select_and_scatter``,
+which profiles at ~6 ms/iter of the 45 ms style step at 1024² (4 pools,
+~13% of the step).  For the non-overlapping stride==kernel case the backward
+is just a compare-and-mask: broadcast the pooled max back to input positions
+and route the cotangent where the input equals it.  Exact wherever the max is
+unique; ties split the cotangent evenly (torch routes to the first argmax —
+a measure-zero difference for continuous activations, and post-ReLU zero
+plateaus receive zero cotangent through the ReLU backward anyway).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _pool_max(x: jax.Array, k: int) -> jax.Array:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // k, k, w // k, k, c)
+    return x.max(axis=(2, 4))
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def max_pool_fast(x: jax.Array, k: int) -> jax.Array:
+    """Non-overlapping k x k max pool (NHWC); input H, W divisible by k."""
+    return _pool_max(x, k)
+
+
+def _mp_fwd(x, k):
+    out = _pool_max(x, k)
+    return out, (x, out)
+
+
+def _mp_bwd(k, res, g):
+    x, out = res
+    b, oh, ow, c = out.shape
+    xb = x.reshape(b, oh, k, ow, k, c)
+    # broadcast-compare in blocked form: fuses into one pass, no repeat copies
+    mask = (xb == out[:, :, None, :, None, :]).astype(g.dtype)
+    counts = mask.sum(axis=(2, 4), keepdims=True)
+    # split evenly across ties so the total routed cotangent is conserved
+    grad = mask * (g[:, :, None, :, None, :] / jnp.maximum(counts, 1.0))
+    return (grad.reshape(b, oh * k, ow * k, c),)
+
+
+max_pool_fast.defvjp(_mp_fwd, _mp_bwd)
+
+
+__all__ = ["max_pool_fast"]

@@ -167,3 +167,25 @@ def test_space_to_depth_stem_equivalent():
         packed = stem_conv_s2d(x, wgt, b, s, jax.lax.Precision.HIGHEST)
         assert packed.shape == direct.shape
         np.testing.assert_allclose(np.asarray(packed), np.asarray(direct), atol=2e-4, rtol=1e-4)
+
+
+def test_fast_maxpool_matches_torch_forward_and_backward():
+    import jax
+    import torch
+    from maua_style_tpu.ops.fast_pool import max_pool_fast
+
+    x = np.random.randn(2, 8, 12, 5).astype(np.float32)
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    want = torch.nn.functional.max_pool2d(xt, 2, 2)
+    g = np.random.randn(*want.shape).astype(np.float32)
+    want.backward(torch.from_numpy(g))
+    want_grad = np.transpose(xt.grad.numpy(), (0, 2, 3, 1))
+
+    got = np.asarray(max_pool_fast(jnp.asarray(x), 2))
+    np.testing.assert_allclose(got, np.transpose(want.detach().numpy(), (0, 2, 3, 1)), atol=1e-6)
+
+    g_nhwc = jnp.asarray(np.transpose(g, (0, 2, 3, 1)))
+    got_grad = np.asarray(
+        jax.grad(lambda a: jnp.sum(max_pool_fast(a, 2) * g_nhwc))(jnp.asarray(x))
+    )
+    np.testing.assert_allclose(got_grad, want_grad, atol=1e-6)
