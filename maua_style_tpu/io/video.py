@@ -23,7 +23,7 @@ import subprocess
 import numpy as np
 from PIL import Image
 
-from .image import CAFFE_MEAN, IMAGE_EXTENSIONS, deprocess, preprocess
+from .image import CAFFE_MEAN, IMAGE_EXTENSIONS, preprocess
 
 VIDEO_EXTENSIONS = (".mp4", ".gif", ".mov", ".avi", ".webm", ".mkv")
 

@@ -25,7 +25,7 @@ Loss semantics are kept numerically identical to the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Sequence
 

@@ -31,10 +31,10 @@ _VOCAB_CANDIDATES = (
     "modelzoo/bpe_simple_vocab_16e6.txt",
 )
 
+# CLIP's original pattern uses \p{L}/\p{N} (requires the regex module);
+# the ASCII classes below are equivalent for the latin text CLIP was trained on
 _PATTERN = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-    if False
-    else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
     re.IGNORECASE,
 )
 

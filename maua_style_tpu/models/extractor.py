@@ -10,7 +10,7 @@ reference's loss-module-instrumented ``nn.Sequential`` (models.py:351-453).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterable
 
 import jax

@@ -10,8 +10,6 @@ program; each level's warp is the shared grid_sample op.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ int(truncate*sigma + 0.5), normalised Gaussian taps), and boundary modes
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

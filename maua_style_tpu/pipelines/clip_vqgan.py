@@ -18,7 +18,6 @@ Divergences from the reference, deliberate:
 
 from __future__ import annotations
 
-import math
 import os
 
 import jax
