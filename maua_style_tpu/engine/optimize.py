@@ -216,6 +216,7 @@ class StyleEngine:
         run_checkpoint: str | None = None,
         checkpoint_every: int = 0,
         profile_dir: str | None = None,
+        print_iter: int = 0,
     ) -> np.ndarray:
         """Optimise a pastiche (image or video batch) against content+style
         targets; the functional equivalent of reference optim.optimize
@@ -313,6 +314,8 @@ class StyleEngine:
             chunk = num_iters if save_iter <= 0 else save_iter
             if checkpoint_every > 0:
                 chunk = min(chunk, checkpoint_every)
+            if print_iter > 0:
+                chunk = min(chunk, print_iter)
             profiled = False
             while done < num_iters:
                 this = min(chunk, num_iters - done)
@@ -328,6 +331,9 @@ class StyleEngine:
                     pastiche, opt_state, log = runner(self.params, pastiche, opt_state, targets, mask)
                 done += this
                 loss_logs.append(np.asarray(log))
+                if print_iter > 0 and (done % print_iter == 0 or done == num_iters):
+                    # reference prints total loss at --print_iter (optim.py:228-229)
+                    print(f"Iteration {done} / {num_iters}, Loss: {float(loss_logs[-1][-1].sum()):g}")
                 if save_callback is not None and done < num_iters:
                     save_callback(np.asarray(pastiche), w * num_iters + done)
                 if run_checkpoint is not None and done < num_iters:

@@ -65,6 +65,7 @@ def img_img(args) -> np.ndarray | None:
             run_checkpoint=f"{args.output}_{current_size}_runstate" if getattr(args, "checkpoint_every", 0) else None,
             checkpoint_every=getattr(args, "checkpoint_every", 0),
             profile_dir=getattr(args, "profile_dir", None),
+            print_iter=args.print_iter if args.verbose else 0,
         )
 
         pastiche = match_histogram(output_image, style_images_big, mode=args.match_histograms)

@@ -62,3 +62,61 @@ def test_img_img_init_content(tmp_path):
     os.makedirs(str(tmp_path / "out"), exist_ok=True)
     img_img(args)
     assert os.path.exists(f"{args.output}_24.png")
+
+
+def test_img_img_flag_branches(tmp_path, capsys):
+    """Exercise --init file, --original_colors, --use_covariance, multiple
+    styles, style-directory expansion, and --print_iter in one tiny run."""
+    content = str(tmp_path / "content.png")
+    style_dir = tmp_path / "styles"
+    style_dir.mkdir()
+    _write_image(content, 0)
+    _write_image(str(style_dir / "a.png"), 1)
+    _write_image(str(style_dir / "b.jpg"), 2)
+    init_file = str(tmp_path / "init.png")
+    _write_image(init_file, 3)
+
+    args = config.get_args([
+        "--content", content,
+        "--style", str(style_dir),
+        "--init", init_file,
+        "--original_colors",
+        "--use_covariance",
+        "--verbose", "--print_iter", "2",
+        "--output_dir", str(tmp_path / "out"),
+        "--image_sizes", "16",
+        "--num_iters", "4",
+        "--optimizer", "adam",
+        "--gpu", "c",
+        "--scaling_args", str(tmp_path / "missing.json"),
+        "--seed", "0",
+    ])
+    os.makedirs(str(tmp_path / "out"), exist_ok=True)
+    img_img(args)
+    assert os.path.exists(f"{args.output}_16.png")
+    out = capsys.readouterr().out
+    assert "Iteration 2 / 4" in out and "Iteration 4 / 4" in out
+
+
+def test_img_img_multi_style_blend(tmp_path):
+    content = str(tmp_path / "c.png")
+    s1 = str(tmp_path / "s1.png")
+    s2 = str(tmp_path / "s2.png")
+    for p, seed in ((content, 0), (s1, 1), (s2, 2)):
+        _write_image(p, seed)
+    args = config.get_args([
+        "--content", content,
+        "--style", s1, s2,
+        "--style_blend_weights", "3,1",
+        "--output_dir", str(tmp_path / "out"),
+        "--image_sizes", "16",
+        "--num_iters", "3",
+        "--optimizer", "adam",
+        "--gpu", "c",
+        "--scaling_args", str(tmp_path / "missing.json"),
+        "--seed", "0",
+    ])
+    assert args.style_blend_weights == [0.75, 0.25]
+    os.makedirs(str(tmp_path / "out"), exist_ok=True)
+    img_img(args)
+    assert os.path.exists(f"{args.output}_16.png")
