@@ -77,34 +77,17 @@ class StyleEngine:
 
         self._extract = extract
         self._jit_content = jax.jit(lambda prm, c: capture_content_targets(partial(extract, prm), c, loss_cfg))
-
-        def style_grams(prm, img):
-            from ..ops.gram import batch_gram
-
-            acts = extract(prm, img, loss_cfg.style_layers)
-            out = {}
-            for l in loss_cfg.style_layers:
-                a = acts[l]
-                nel = a.shape[1] * a.shape[2] * a.shape[3]
-                out[l] = (batch_gram(a, loss_cfg.use_covariance) / nel).mean(axis=0)
-            return out
-
-        self._jit_style_grams = jax.jit(style_grams)
-
-        def video_grams(prm, window):
-            from ..ops.gram import batch_gram, video_gram
-
-            acts = extract(prm, window, loss_cfg.style_layers)
-            static, dynamic = {}, {}
-            for l in loss_cfg.style_layers:
-                a = acts[l]
-                nel = a.shape[1] * a.shape[2] * a.shape[3]
-                static[l] = (batch_gram(a, loss_cfg.use_covariance) / nel).mean(axis=0)
-                if loss_cfg.video_style_factor > 0:
-                    dynamic[l] = video_gram(a, loss_cfg.use_covariance) / a.size
-            return static, dynamic
-
-        self._jit_video_grams = jax.jit(video_grams)
+        # one jitted capture per style (shapes vary per style; jit caches per shape)
+        self._jit_style = jax.jit(
+            lambda prm, img, bw: capture_style_targets(partial(extract, prm), [img], [bw], loss_cfg)
+        )
+        # per-window capture (jitting whole-video capture would trace every
+        # window into one giant graph); a full window has n_windows == 1
+        # inside the helper, so the outer loop applies the 1/n_windows weight
+        self._jit_video_window = jax.jit(
+            lambda prm, win, bw, gfw: capture_style_video_targets(partial(extract, prm), [win], [bw], loss_cfg, gfw),
+            static_argnames=("gfw",),
+        )
 
     # -- target capture ----------------------------------------------------
 
@@ -114,9 +97,9 @@ class StyleEngine:
     def style_targets(self, styles: Sequence, blend_weights: Sequence[float]) -> dict:
         targets: dict[str, jax.Array] = {}
         for style, bw in zip(styles, blend_weights):
-            grams = self._jit_style_grams(self.params, jnp.asarray(style))
+            grams = self._jit_style(self.params, jnp.asarray(style), bw)
             for l, g in grams.items():
-                targets[l] = targets.get(l, 0) + bw * g
+                targets[l] = targets.get(l, 0) + g
         return targets
 
     def style_video_targets(
@@ -131,11 +114,11 @@ class StyleEngine:
             w_eff = bw / n_windows
             for start in range(n_windows):
                 window = video[start : start + gram_frame_window]
-                s, d = self._jit_video_grams(self.params, window)
-                for l in self.loss_cfg.style_layers:
-                    static[l] = static.get(l, 0) + w_eff * s[l]
-                    if d:
-                        dynamic[l] = dynamic.get(l, 0) + w_eff * d[l]
+                s, d = self._jit_video_window(self.params, window, w_eff, gram_frame_window)
+                for l, g in s.items():
+                    static[l] = static.get(l, 0) + g
+                for l, g in d.items():
+                    dynamic[l] = dynamic.get(l, 0) + g
         return static, dynamic
 
     # -- strength normalisation (reference optim.py:176-178) ----------------
@@ -281,8 +264,6 @@ class StyleEngine:
             if video:
                 front_overlap, end_overlap = window_overlaps(windows[0], w, window_start, gfw, output.shape[0])
                 idx = wrapping_indices(output.shape[0], window_start, gfw)
-                if output.shape[0] == 1:
-                    idx = np.zeros(1, np.int64)
                 pastiche = jnp.asarray(output[idx])
                 if avg_frame_window != -1:
                     current = [
@@ -295,7 +276,9 @@ class StyleEngine:
                     targets["style"] = static
                     if dynamic:
                         targets["style_video"] = dynamic
-                mask = jnp.asarray(overlap_grad_mask(gfw, w, front_overlap, end_overlap))
+                # mask sized to the actual window (a 1-frame pastiche yields a
+                # 1-frame window regardless of gram_frame_window)
+                mask = jnp.asarray(overlap_grad_mask(len(idx), w, front_overlap, end_overlap))
                 masked = w != 0
             else:
                 pastiche = init
@@ -331,8 +314,12 @@ class StyleEngine:
                     pastiche, opt_state, log = runner(self.params, pastiche, opt_state, targets, mask)
                 done += this
                 loss_logs.append(np.asarray(log))
-                if print_iter > 0 and (done % print_iter == 0 or done == num_iters):
-                    # reference prints total loss at --print_iter (optim.py:228-229)
+                if print_iter > 0 and (
+                    done // print_iter > (done - this) // print_iter or done == num_iters
+                ):
+                    # reference prints total loss at --print_iter (optim.py:228-229);
+                    # fire on crossing each print_iter boundary, robust to chunk
+                    # sizes capped by save_iter/checkpoint_every
                     print(f"Iteration {done} / {num_iters}, Loss: {float(loss_logs[-1][-1].sum()):g}")
                 if save_callback is not None and done < num_iters:
                     save_callback(np.asarray(pastiche), w * num_iters + done)

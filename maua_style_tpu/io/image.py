@@ -99,15 +99,30 @@ def save_tensor_to_file(tensor: np.ndarray, args, iteration=None, size=None, fil
 
 def process_style_images(args) -> list[np.ndarray]:
     """Expand style args (paths / dirs / URLs) into preprocessed images
-    (reference load.py:77-92)."""
+    (reference load.py:77-92).
+
+    Blend weights are redistributed over the expansion: each input's weight
+    splits equally among the images a directory expands to, then the whole
+    vector renormalises.  (The reference crashes with an IndexError when a
+    directory plus blend weights are combined — a deliberate fix.)
+    """
     style_list: list[str] = []
-    for image in args.style:
+    weights_in = list(getattr(args, "style_blend_weights", None) or [1.0] * len(args.style))
+    expanded_weights: list[float] = []
+    for image, w in zip(args.style, weights_in):
         if os.path.isdir(image):
-            style_list.extend(
-                image + "/" + f for f in sorted(os.listdir(image)) if os.path.splitext(f)[1].lower() in IMAGE_EXTENSIONS
-            )
+            members = [
+                image + "/" + f
+                for f in sorted(os.listdir(image))
+                if os.path.splitext(f)[1].lower() in IMAGE_EXTENSIONS
+            ]
+            style_list.extend(members)
+            expanded_weights.extend([w / max(len(members), 1)] * len(members))
         else:
             style_list.append(image)
+            expanded_weights.append(w)
+    total = sum(expanded_weights) or 1.0
+    args.style_blend_weights = [w / total for w in expanded_weights]
     return [preprocess(p) for p in style_list]
 
 

@@ -174,7 +174,10 @@ def capture_style_video_targets(
                 per_frame_nel = a.shape[1] * a.shape[2] * a.shape[3]
                 gram = _style_gram(a, cfg.use_covariance) / per_frame_nel
                 static[l] = static.get(l, 0) + jax.lax.stop_gradient(w_eff * gram.mean(axis=0))
-                if cfg.video_style_factor > 0:
+                # image styles (single frames) are excluded from the dynamic
+                # Gram — their (C,C) doesn't match the (gfw*C,gfw*C) window
+                # statistic (reference loss.py:165-166 skips them)
+                if cfg.video_style_factor > 0 and a.shape[0] == gram_frame_window > 1:
                     vg = video_gram(a, cfg.use_covariance) / (a.size)
                     dynamic[l] = dynamic.get(l, 0) + jax.lax.stop_gradient(w_eff * vg)
     return static, dynamic

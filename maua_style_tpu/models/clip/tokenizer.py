@@ -135,9 +135,12 @@ class SimpleTokenizer:
             if self.has_vocab:
                 tokens.extend(self.encoder[t] for t in self.bpe(token_trans).split(" "))
             else:
-                # deterministic hash fallback: stable per word, inside the
-                # non-special vocab range
-                tokens.append((hash(token_trans) % (VOCAB_SIZE - 1000)) + 500)
+                # deterministic hash fallback: stable per word ACROSS PROCESSES
+                # (python's hash() is salted), inside the non-special vocab range
+                import hashlib
+
+                digest = int.from_bytes(hashlib.sha1(token_trans.encode()).digest()[:4], "little")
+                tokens.append((digest % (VOCAB_SIZE - 1000)) + 500)
         return tokens
 
 

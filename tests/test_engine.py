@@ -185,3 +185,30 @@ def test_run_checkpoint_resume_preserves_optimizer_state(tmp_path):
     assert calls == [5]  # only the remaining 5 iterations ran
     np.testing.assert_allclose(resumed, full, atol=1e-4, rtol=1e-4)
     assert not os.path.exists(ckpt)  # cleaned up on completion
+
+
+def test_single_frame_video_pastiche_no_crash():
+    """A 1-frame pastiche with gram_frame_window > 1 must not blow up the scan
+    carry via mask broadcasting (code-review finding)."""
+    cfg, net, spec, params, engine = _small_setup(optimizer="adam")
+    content = np.random.rand(1, 16, 16, 3).astype(np.float32)
+    style = np.random.rand(4, 16, 16, 3).astype(np.float32)
+    init = np.random.randn(1, 16, 16, 3).astype(np.float32) * 0.001
+    out = engine.optimize(
+        content, [style], init, 2,
+        transfer_type="img_vid", blend_weights=[1.0], gram_frame_window=4, avg_frame_window=-1,
+    )
+    assert out.shape == init.shape and np.isfinite(out).all()
+
+
+def test_mixed_image_video_styles_img_vid():
+    cfg, net, spec, params, engine = _small_setup(optimizer="adam")
+    content = np.random.rand(1, 16, 16, 3).astype(np.float32)
+    video = np.random.rand(4, 16, 16, 3).astype(np.float32)
+    image = np.random.rand(1, 16, 16, 3).astype(np.float32)
+    init = np.random.randn(4, 16, 16, 3).astype(np.float32) * 0.001
+    out = engine.optimize(
+        content, [video, image], init, 2,
+        transfer_type="img_vid", blend_weights=[0.5, 0.5], gram_frame_window=4, avg_frame_window=-1,
+    )
+    assert out.shape == init.shape and np.isfinite(out).all()

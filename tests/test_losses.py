@@ -197,3 +197,29 @@ def test_temporal_loss_weighted_input():
     g = np.asarray(jax.grad(loss_fn)(p0))
     assert np.abs(g[0, 3:]).max() == 0.0
     assert np.abs(g[0, :3]).max() > 0.0
+
+
+def test_video_targets_skip_image_styles_in_dynamic_gram():
+    """Mixing a video style with an image style must not crash dynamic-Gram
+    capture (reference loss.py:165-166 skips image styles)."""
+    from maua_style_tpu.models import init_params
+
+    cfg = LossConfig(content_layers=(), style_layers=("relu1_1",), tv_weight=0,
+                     temporal_weight=0, video_style_factor=100.0, normalize_gradients=False)
+    spec = select_model("vgg16", "max")
+    params = init_params(spec, 0)
+
+    def extract(x, layers):
+        return apply_extractor(params, x, spec, layers)
+
+    from maua_style_tpu.losses import capture_style_video_targets
+
+    video = jnp.asarray(np.random.rand(4, 16, 16, 3).astype(np.float32))
+    image = jnp.asarray(np.random.rand(1, 16, 16, 3).astype(np.float32))
+    static, dynamic = capture_style_video_targets(extract, [video, image], [0.5, 0.5], cfg, 4)
+    assert "relu1_1" in static
+    # dynamic target comes from the video only, shape (gfw*C, gfw*C)
+    assert dynamic["relu1_1"].shape == (4 * 64, 4 * 64)
+
+
+from maua_style_tpu.models import select_model, apply_extractor  # noqa: E402  (used above)

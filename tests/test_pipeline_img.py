@@ -120,3 +120,26 @@ def test_img_img_multi_style_blend(tmp_path):
     os.makedirs(str(tmp_path / "out"), exist_ok=True)
     img_img(args)
     assert os.path.exists(f"{args.output}_16.png")
+
+
+def test_style_directory_weights_cover_all_images(tmp_path):
+    """Directory styles must contribute: blend weights redistribute over the
+    expansion (code-review finding: they were silently truncated)."""
+    style_dir = tmp_path / "styles"
+    style_dir.mkdir()
+    for i in range(3):
+        _write_image(str(style_dir / f"s{i}.png"), seed=i + 1)
+    content = str(tmp_path / "c.png")
+    _write_image(content, 0)
+    args = config.get_args([
+        "--content", content, "--style", str(style_dir),
+        "--output_dir", str(tmp_path / "out"),
+        "--image_sizes", "16", "--num_iters", "2",
+        "--gpu", "c", "--scaling_args", str(tmp_path / "missing.json"),
+    ])
+    import maua_style_tpu.io as mio
+
+    images = mio.process_style_images(args)
+    assert len(images) == 3
+    assert len(args.style_blend_weights) == 3
+    np.testing.assert_allclose(sum(args.style_blend_weights), 1.0)
