@@ -80,3 +80,28 @@ def test_pastiche_sharding_for_policy():
     a1.devices = jax.devices()[:1]
     a1.mesh_shape = [("space", 1)]
     assert pastiche_sharding_for(a1) is None
+
+
+def test_sharded_video_windows_match_single_device():
+    """Gram frame windows + frame-parallel sharding compose: windowed video
+    optimization on a mesh equals single-device."""
+    np.random.seed(3)
+    frames = 8
+    content = np.random.rand(1, 16, 16, 3).astype(np.float32) * 100
+    style = np.random.rand(8, 16, 16, 3).astype(np.float32) * 100
+    init = np.random.randn(frames, 16, 16, 3).astype(np.float32) * 0.001
+
+    def run(sharding):
+        cfg = LossConfig(content_layers=("relu2_2",), style_layers=("relu1_1", "relu2_1"),
+                         tv_weight=1e-3, temporal_weight=0.0, video_style_factor=100.0)
+        spec = select_model("vgg16", "max")
+        params = init_params(spec, seed=0)
+        eng = StyleEngine(spec, params, cfg, optimizer="adam", learning_rate=0.1,
+                          pastiche_sharding=sharding)
+        return eng.optimize(content, [style], init.copy(), 3, transfer_type="img_vid",
+                            blend_weights=[1.0], gram_frame_window=4, avg_frame_window=-1)
+
+    single = run(None)
+    mesh = build_mesh(jax.devices()[:4], [("frames", 4)])
+    sharded = run(NamedSharding(mesh, P("frames", None, None, None)))
+    np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=1e-4)
