@@ -78,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--optimizer", choices=["lbfgs", "adam"], default="lbfgs")
     parser.add_argument("--learning_rate", type=float, default=1)
     parser.add_argument("--lbfgs_num_correction", type=int, default=100)
+    parser.add_argument("--lbfgs_method", choices=["compact", "two_loop"], default="compact",
+                        help="compact = faster (Byrd-Nocedal-Schnabel); two_loop = ~1.6GB leaner at history 100 (max sizes)")
     parser.add_argument("--lbfgs_tolerance_change", type=int, default=-1)  # accepted for CLI compat; never triggers
     parser.add_argument("--lbfgs_tolerance_grad", type=int, default=-1)
 

@@ -52,6 +52,7 @@ class StyleEngine:
         optimizer: str = "lbfgs",
         learning_rate: float = 1.0,
         lbfgs_history: int = 100,
+        lbfgs_method: str = "compact",
         precision: str = "highest",
         normalize_weights: bool = False,
         compute_dtype=jnp.float32,
@@ -64,6 +65,7 @@ class StyleEngine:
         self.optimizer_name = optimizer
         self.learning_rate = learning_rate
         self.lbfgs_history = lbfgs_history
+        self.lbfgs_method = lbfgs_method
         self.precision = _PRECISIONS[precision]
         self.normalize_weights = normalize_weights
         self.compute_dtype = compute_dtype
@@ -140,7 +142,7 @@ class StyleEngine:
 
     def _make_optimizer(self):
         if self.optimizer_name == "lbfgs":
-            return lbfgs(self.learning_rate, self.lbfgs_history)
+            return lbfgs(self.learning_rate, self.lbfgs_history, method=self.lbfgs_method)
         if self.optimizer_name == "adam":
             return optax.adam(self.learning_rate)
         raise ValueError(f"unknown optimizer {self.optimizer_name}")

@@ -46,6 +46,7 @@ def build_engine(args, current_size: int | None = None) -> StyleEngine:
         optimizer=args.optimizer,
         learning_rate=float(args.learning_rate),
         lbfgs_history=int(args.lbfgs_num_correction),
+        lbfgs_method=getattr(args, "lbfgs_method", "compact"),
         precision=getattr(args, "precision", "highest"),
         normalize_weights=bool(args.normalize_weights),
         compute_dtype=compute_dtype,

@@ -47,7 +47,7 @@ def _loss_cfg_for(model: str):
 
 
 def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: int = 100,
-                        layers=None) -> int:
+                        layers=None, lbfgs_method: str = "compact") -> int:
     """Analytic footprint of one jitted style-transfer step at size x size.
 
     Counts pastiche + stored forward activations (+~1x for backward buffers)
@@ -87,8 +87,10 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
         total += 2 * pixels  # mu, nu
     else:
         # s/y circular history plus transient copies during the in-scan
-        # buffer updates (measured via XLA memory analysis), plus work vectors
-        total += 4 * lbfgs_history * pixels + 6 * pixels
+        # buffer updates; the compact method adds recombination transposes
+        # (both factors measured via XLA memory analysis)
+        factor = 5.3 if lbfgs_method == "compact" else 4.0
+        total += factor * lbfgs_history * pixels + 6 * pixels
     params_bytes = 0
     cin = spec.in_ch
     for l in spec.conv_layers:
