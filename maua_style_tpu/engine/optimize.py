@@ -75,7 +75,9 @@ class StyleEngine:
         self._runners: dict[Any, Callable] = {}
 
         def extract(prm, x, layers):
-            return apply_extractor(prm, x.astype(compute_dtype), self.spec, layers, self.precision)
+            # pack_stem: block 1 runs space-to-depth-packed (exact same math,
+            # ~2x step speedup at 1024²; see ops/packed_stem.py)
+            return apply_extractor(prm, x.astype(compute_dtype), self.spec, layers, self.precision, pack_stem=True)
 
         self._extract = extract
         self._jit_content = jax.jit(lambda prm, c: capture_content_targets(partial(extract, prm), c, loss_cfg))

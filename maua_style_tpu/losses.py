@@ -25,6 +25,8 @@ Loss semantics are kept numerically identical to the reference:
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Sequence
@@ -53,6 +55,18 @@ def _style_gram(a: jax.Array, use_covariance: bool) -> jax.Array:
         from .ops.pallas_gram import gram_nhwc
 
         return gram_nhwc(a, use_covariance)
+    if a.ndim == 5 and not use_covariance:
+        # packed-stem phase view (B, H', W, P, C): contract with phases FOLDED
+        # into channels (P*C = 128 — full vector lanes, vs the half-lane C=64
+        # contraction), then sum the P diagonal C x C blocks:
+        #   G[c,d] = sum_p sum_rows x[r,(p,c)] x[r,(p,d)]
+        # The off-diagonal blocks are discarded; the MXU wins more than they
+        # cost.  (Covariance mode centers per-channel across all rows, which
+        # does not commute with the fold — it takes the un-folded path.)
+        b, hp, w, p, c = a.shape
+        g_pack = batch_gram(a.reshape(b, hp, w, p * c), False)  # (B, PC, PC)
+        blocks = g_pack.reshape(b, p, c, p, c)
+        return sum(blocks[:, i, :, i, :] for i in range(p))
     return batch_gram(a, use_covariance)
 
 
@@ -145,7 +159,7 @@ def capture_style_targets(
         acts = extract_fn(style, cfg.style_layers)
         for l in cfg.style_layers:
             a = acts[l]
-            nelement = a.shape[1] * a.shape[2] * a.shape[3]
+            nelement = math.prod(a.shape[1:])
             gram = _style_gram(a, cfg.use_covariance) / nelement  # (B, C, C)
             contrib = bw * gram.mean(axis=0)
             targets[l] = targets.get(l, 0) + jax.lax.stop_gradient(contrib)
@@ -171,7 +185,7 @@ def capture_style_video_targets(
             acts = extract_fn(window, cfg.style_layers)
             for l in cfg.style_layers:
                 a = acts[l]
-                per_frame_nel = a.shape[1] * a.shape[2] * a.shape[3]
+                per_frame_nel = math.prod(a.shape[1:])
                 gram = _style_gram(a, cfg.use_covariance) / per_frame_nel
                 static[l] = static.get(l, 0) + jax.lax.stop_gradient(w_eff * gram.mean(axis=0))
                 # image styles (single frames) are excluded from the dynamic
@@ -240,7 +254,7 @@ def evaluate_losses(
         strength = cfg.style_weight * scale.get(f"style:{l}", 1.0)
         v = jnp.zeros((), jnp.float32)
         a = acts[l]
-        nelement = a.shape[1] * a.shape[2] * a.shape[3]
+        nelement = math.prod(a.shape[1:])
         if l in style_targets:
             grams = _style_gram(a, cfg.use_covariance) / nelement  # (B, C, C)
             tgt = style_targets[l]

@@ -113,22 +113,72 @@ def _pool(x: jax.Array, layer: Layer) -> jax.Array:
     return summed / count
 
 
+def _packable_stem(spec: ExtractorSpec) -> bool:
+    """True when the spec starts with the VGG block-1 pattern
+    conv3x3/s1/p1 → relu → conv3x3/s1/p1 → relu → maxpool2x2/s2."""
+    ls = spec.layers
+    if len(ls) < 5:
+        return False
+    if tuple(l.kind for l in ls[:5]) != ("conv", "relu", "conv", "relu", "maxpool"):
+        return False
+    for conv in (ls[0], ls[2]):
+        if conv.kernel != (3, 3) or conv.stride != (1, 1) or conv.pad != (1, 1):
+            return False
+    pool = ls[4]
+    return pool.kernel == (2, 2) and pool.stride == (2, 2) and not pool.ceil_mode
+
+
+def _run_packed_stem(params, x, spec, remaining, acts, precision):
+    """Run block 1 row-packed (see ops/packed_stem.py); returns the un-packed
+    pool-1 output.  Activations inside the block are recorded as
+    (B, H/2, W, 2, C) phase views — MSE is permutation-invariant and the
+    Gram contracts over (pixels, phases), so the losses are unchanged."""
+    from ..ops.packed_stem import as_phased, pack_rows, packed_conv3x3, pool_packed
+
+    y = pack_rows(x)
+    for layer in spec.layers[:5]:
+        if layer.kind == "conv":
+            p = params[layer.name]
+            y = packed_conv3x3(y, p["w"].astype(y.dtype), p["b"], precision)
+        elif layer.kind == "relu":
+            y = jnp.maximum(y, 0)
+        else:  # the 2x2 max pool un-packs for free
+            y = pool_packed(y)
+        if layer.name in remaining:
+            acts[layer.name] = y if layer.kind == "maxpool" else as_phased(y)
+            remaining.discard(layer.name)
+            if not remaining:
+                return y
+    return y
+
+
 def apply_extractor(
     params: dict,
     x: jax.Array,
     spec: ExtractorSpec,
     wanted: Iterable[str] = (),
     precision=jax.lax.Precision.HIGHEST,
+    pack_stem: bool = False,
 ) -> dict[str, jax.Array]:
     """Run the extractor, returning {name: activation} for ``wanted`` layers.
 
     x: (B, H, W, C) NHWC float. Evaluation stops after the deepest wanted
     layer so shallow losses never pay for deep layers.
+
+    ``pack_stem``: run VGG block 1 space-to-depth-packed (exact same math,
+    ~2x faster step at 1024² — see ops/packed_stem.py).  Block-1 activations
+    are then returned as (B, H/2, W/2, 4, C) phase views.
     """
     wanted = tuple(wanted)
     remaining = set(wanted)
     acts: dict[str, jax.Array] = {}
-    for layer in spec.layers:
+    start = 0
+    if pack_stem and _packable_stem(spec) and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = _run_packed_stem(params, x, spec, remaining, acts, precision)
+        if wanted and not remaining:
+            return acts
+        start = 5
+    for layer in spec.layers[start:]:
         if layer.kind == "conv":
             p = params[layer.name]
             if layer.kernel[0] >= 7 and layer.stride[0] > 1 and layer.pad == (0, 0):

@@ -1,0 +1,114 @@
+"""Row-packed (space-to-depth) execution of the first VGG block
+(conv3x3 → relu → conv3x3 → relu → maxpool2) — exact math, TPU-friendly
+shapes.
+
+At 1024²/B=1 the first block runs at C=64 — half the 128-wide vector lanes —
+and XLA's conv tiling materialises halo-blocked `[1024, 8, 129, 64]` internal
+buffers with layout copies on every producer/consumer edge.  Profiled on
+v5e-1, block 1 (two convs + pool + their backwards + relu/copy churn) costs
+~19 ms of a 40 ms style step (reference hot loop: optim.py:201-241).
+
+The fix: pack pairs of *rows* into channels, (H, W, C) -> (H/2, W, 2C), and
+run the whole block packed:
+
+- a 3x3/pad-1 conv becomes ONE 3x3 conv on the packed image with a
+  rearranged (3, 3, 2·cin, 2·cout) kernel: output row 2i+dy reads original
+  rows 2i+dy-1 .. 2i+dy+1, which live in packed block rows i-1 .. i+1, so
+  tap (u, v) lands at block offset I, intra-block p with u = 2(I-1)+p-dy+1
+  (slots falling outside the 3x3 kernel stay zero — 2x nominal FLOPs, half
+  structurally zero, but the MXU runs full-lane at C=128 and none of the
+  half-lane layout churn survives).
+- relu is elementwise: packed relu == packed(relu).
+- the 2x2/stride-2 max pool reduces over (row phase, column pair), and its
+  output is automatically back in plain NHWC at half resolution.  Block 2
+  onward is untouched.
+
+Row packing (not 2x2 pixel packing) is deliberate: a single same-padded conv
+needs the *union* of block windows across phases, so 2D packing pays 4x
+nominal FLOPs and per-phase shifted views; 1D packing pays 2x with one
+aligned conv.  Measured on v5e-1 the 2D/4-view variant was net slower than
+the unpacked baseline; this one is ~25% faster end-to-end.
+
+Packed activations are exposed to the losses as (B, H/2, W, 2, C): MSE is
+permutation-invariant so content losses match exactly; the Gram contracts
+over (pixels, phases) — see ops/gram.py which accepts any (B, ..., C).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_rows(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W, 2*C), channel order (row phase, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4))
+    return x.reshape(b, h // 2, w, 2 * c)
+
+
+def unpack_rows(y: jax.Array) -> jax.Array:
+    """Inverse of pack_rows: (B, H2, W, 2*C) -> (B, 2*H2, W, C)."""
+    b, h2, w, c2 = y.shape
+    c = c2 // 2
+    y = y.reshape(b, h2, w, 2, c)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4))
+    return y.reshape(b, 2 * h2, w, c)
+
+
+def _packed_kernel(w: jax.Array) -> jax.Array:
+    """HWIO (3, 3, cin, cout) -> row-packed (3, 3, 2*cin, 2*cout).
+
+    K[I, J, (p, a), (dy, c)] = w[2(I-1) + p - dy + 1, J, a, c] where the row
+    index is a valid kernel tap, else 0.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    k = jnp.zeros((3, 3, 2, cin, 2, cout), w.dtype)
+    for bi in (0, 1, 2):
+        for p in (0, 1):
+            for dy in (0, 1):
+                u = 2 * (bi - 1) + p - dy + 1
+                if 0 <= u <= 2:
+                    k = k.at[bi, :, p, :, dy, :].set(w[u])
+    return k.reshape(3, 3, 2 * cin, 2 * cout)
+
+
+def packed_conv3x3(
+    xp: jax.Array, w: jax.Array, b: jax.Array, precision=jax.lax.Precision.DEFAULT
+) -> jax.Array:
+    """3x3/stride-1/pad-1 conv in the row-packed domain.
+
+    xp: (B, H2, W, 2*cin) packed input; returns (B, H2, W, 2*cout) packed —
+    the packed form of conv(unpack_rows(xp), w, pad=1) + b, identical up to
+    float-summation order.
+    """
+    kern = _packed_kernel(w).astype(xp.dtype)
+    y = jax.lax.conv_general_dilated(
+        xp,
+        kern,
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
+    )
+    cout = w.shape[3]
+    return y + jnp.tile(b.astype(xp.dtype), 2)
+
+
+def pool_packed(y: jax.Array) -> jax.Array:
+    """2x2/stride-2 max pool of the *unpacked* image == max over (row phase,
+    column pair) of the packed one; output is plain NHWC at half res."""
+    b, h2, w, c2 = y.shape
+    c = c2 // 2
+    y = y.reshape(b, h2, w // 2, 2, 2, c)  # (.., col pair, row phase, c)
+    return y.max(axis=(3, 4))
+
+
+def as_phased(y: jax.Array) -> jax.Array:
+    """Packed (B, H2, W, 2*C) -> loss view (B, H2, W, 2, C)."""
+    b, h2, w, c2 = y.shape
+    return y.reshape(b, h2, w, 2, c2 // 2)
+
+
+__all__ = ["pack_rows", "unpack_rows", "packed_conv3x3", "pool_packed", "as_phased"]

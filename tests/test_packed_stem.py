@@ -1,0 +1,122 @@
+"""Row-packed VGG block-1 execution (ops/packed_stem.py) is mathematically
+identical to the plain path — the packed conv contracts the exact same
+products as the reference conv3x3/pad-1 (reference models.py block 1), just
+in TPU-friendly (H/2, W, 2C) shapes."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from maua_style_tpu.losses import LossConfig, _style_gram
+from maua_style_tpu.models import select_model, init_params
+from maua_style_tpu.models.extractor import apply_extractor, truncate_spec
+from maua_style_tpu.ops.gram import batch_gram
+from maua_style_tpu.ops.packed_stem import pack_rows, unpack_rows
+
+
+def _setup(arch="vgg19"):
+    spec = select_model(arch, "max")
+    params = init_params(spec, seed=0)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32) * 50)
+    return spec, params, x
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((3, 10, 7, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(unpack_rows(pack_rows(x))), np.asarray(x))
+
+
+def test_packed_stem_matches_plain_path():
+    spec, params, x = _setup()
+    layers = ("relu1_1", "relu1_2", "relu2_1", "relu4_2")
+    plain = apply_extractor(params, x, spec, layers)
+    packed = apply_extractor(params, x, spec, layers, pack_stem=True)
+    for l in layers:
+        a = np.asarray(plain[l])
+        b = np.asarray(packed[l])
+        if b.ndim == 5:  # phased block-1 view: unpack to compare
+            n, h2, w, p, c = b.shape
+            b = np.asarray(unpack_rows(jnp.asarray(b.reshape(n, h2, w, p * c))))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=1e-3)
+
+
+def test_packed_stem_odd_size_falls_back():
+    spec, params, _ = _setup()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 31, 33, 3)).astype(np.float32))
+    plain = apply_extractor(params, x, spec, ("relu1_1",))
+    packed = apply_extractor(params, x, spec, ("relu1_1",), pack_stem=True)
+    # odd H: packed path must silently fall back to the plain (4D) activations
+    assert packed["relu1_1"].ndim == 4
+    np.testing.assert_allclose(np.asarray(plain["relu1_1"]), np.asarray(packed["relu1_1"]))
+
+
+def test_packed_stem_truncated_spec_falls_back():
+    spec, params, x = _setup()
+    short = truncate_spec(spec, ("relu1_1",))  # ends before pool1: not packable
+    acts = apply_extractor(params, x, short, ("relu1_1",), pack_stem=True)
+    assert acts["relu1_1"].ndim == 4
+
+
+def test_folded_phase_gram_matches_plain_gram():
+    spec, params, x = _setup()
+    plain = apply_extractor(params, x, spec, ("relu1_1",))["relu1_1"]
+    packed = apply_extractor(params, x, spec, ("relu1_1",), pack_stem=True)["relu1_1"]
+    g_plain = np.asarray(batch_gram(plain))
+    g_packed = np.asarray(_style_gram(packed, False))
+    assert g_packed.shape == g_plain.shape
+    np.testing.assert_allclose(g_plain, g_packed, rtol=1e-4, atol=1e-3)
+
+
+def test_covariance_gram_on_phased_view_matches():
+    spec, params, x = _setup()
+    plain = apply_extractor(params, x, spec, ("relu1_1",))["relu1_1"]
+    packed = apply_extractor(params, x, spec, ("relu1_1",), pack_stem=True)["relu1_1"]
+    g_plain = np.asarray(batch_gram(plain, True))
+    g_packed = np.asarray(_style_gram(packed, True))
+    np.testing.assert_allclose(g_plain, g_packed, rtol=5e-4, atol=1.0)
+
+
+def test_gram_custom_vjp_matches_autodiff():
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 5)).astype(np.float32))
+
+    def loss_custom(x):
+        return jnp.sum(batch_gram(x) ** 2)
+
+    def loss_auto(x):
+        f = x.reshape(2, -1, 5)
+        g = jnp.einsum("bpc,bpd->bcd", f, f)
+        return jnp.sum(g ** 2)
+
+    np.testing.assert_allclose(float(loss_custom(x)), float(loss_auto(x)), rtol=1e-5)
+    g1 = np.asarray(jax.grad(loss_custom)(x))
+    g2 = np.asarray(jax.grad(loss_auto)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
+
+
+def test_video_gram_custom_vjp_matches_autodiff():
+    import jax
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((3, 4, 5, 6)).astype(np.float32))
+    from maua_style_tpu.ops.gram import video_gram
+
+    def loss_custom(x):
+        return jnp.sum(video_gram(x) ** 2)
+
+    def loss_auto(x):
+        b, h, w, c = x.shape
+        f = jnp.transpose(x.reshape(b, h * w, c), (0, 2, 1)).reshape(b * c, h * w)
+        g = f @ f.T
+        return jnp.sum(g ** 2)
+
+    np.testing.assert_allclose(float(loss_custom(x)), float(loss_auto(x)), rtol=1e-5)
+    g1 = np.asarray(jax.grad(loss_custom)(x))
+    g2 = np.asarray(jax.grad(loss_auto)(x))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
