@@ -48,36 +48,55 @@ def main():
     cfg = LossConfig()  # reference defaults
     spec = select_model("vgg19", "max")
     params = init_params(spec, seed=0)
-    engine = StyleEngine(
-        spec, params, cfg, optimizer="adam", learning_rate=1.0, precision=precision, compute_dtype=compute_dtype
-    )
 
     rng = np.random.default_rng(0)
     content = rng.random((1, size, size, 3), np.float32) * 255 - 128
     style = rng.random((1, size, size, 3), np.float32) * 255 - 128
     init = rng.standard_normal((1, size, size, 3)).astype(np.float32) * 0.001
 
-    # warmup-compile both scan lengths, then measure the marginal per-iteration
-    # rate as a slope: (t(2n) - t(n)) / n.  This cancels the fixed per-call
-    # costs (target capture, host<->device transfer over the chip tunnel)
-    # that don't scale with iterations.
-    engine.optimize(content, [style], init, iters_timed, blend_weights=[1.0])
-    engine.optimize(content, [style], init, 2 * iters_timed, blend_weights=[1.0])
+    def measure(optimizer: str) -> float:
+        engine = StyleEngine(
+            spec,
+            params,
+            cfg,
+            optimizer=optimizer,
+            learning_rate=1.0,
+            precision=precision,
+            compute_dtype=compute_dtype,
+        )
+        # warmup-compile both scan lengths, then measure the marginal
+        # per-iteration rate as a slope: (t(2n) - t(n)) / n.  This cancels
+        # the fixed per-call costs (target capture, host<->device transfer
+        # over the chip tunnel) that don't scale with iterations.
+        engine.optimize(content, [style], init, iters_timed, blend_weights=[1.0])
+        engine.optimize(content, [style], init, 2 * iters_timed, blend_weights=[1.0])
 
-    start = time.perf_counter()
-    engine.optimize(content, [style], init, iters_timed, blend_weights=[1.0])
-    t_n = time.perf_counter() - start
-    start = time.perf_counter()
-    out = engine.optimize(content, [style], init, 2 * iters_timed, blend_weights=[1.0])
-    t_2n = time.perf_counter() - start
+        start = time.perf_counter()
+        engine.optimize(content, [style], init, iters_timed, blend_weights=[1.0])
+        t_n = time.perf_counter() - start
+        start = time.perf_counter()
+        engine.optimize(content, [style], init, 2 * iters_timed, blend_weights=[1.0])
+        t_2n = time.perf_counter() - start
 
-    megapixels = size * size / 1e6
-    mp_iters_per_sec = megapixels * iters_timed / max(t_2n - t_n, 1e-9)
+        megapixels = size * size / 1e6
+        return megapixels * iters_timed / max(t_2n - t_n, 1e-9)
+
+    # both the reference's default optimizer (lbfgs, config.py:47) and adam
+    lbfgs_rate = measure("lbfgs")
+    adam_rate = measure("adam")
     result = {
         "metric": "megapixel_iters_per_sec_per_chip_1024_gram",
-        "value": round(mp_iters_per_sec, 3),
+        "value": round(adam_rate, 3),
         "unit": "MP-iters/s/chip",
-        "vs_baseline": round(mp_iters_per_sec / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3),
+        "vs_baseline": round(adam_rate / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3),
+        "lbfgs_value": round(lbfgs_rate, 3),
+        "lbfgs_vs_baseline": round(lbfgs_rate / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3),
+        "config": {
+            "size": size,
+            "compute_dtype": str(np.dtype("float32") if fidelity else "bfloat16"),
+            "precision": precision,
+            "optimizers": ["lbfgs", "adam"],
+        },
     }
     print(json.dumps(result))
     return result

@@ -230,9 +230,13 @@ def setup_devices(args):
     gpu = str(getattr(args, "gpu", "0"))
     if "c" in gpu.lower():
         devices = jax.devices("cpu")
-        ids = [d for d in gpu.split(",") if d.lower() != "c"]
-        if ids:  # mixed device lists degrade to CPU-only in this build
-            pass
+        ids = [d for d in gpu.split(",") if d.strip().lower() != "c"]
+        if ids:
+            # the reference runs mixed GPU+CPU lists via ModelParallel
+            # (models.py:537-566); this build places everything per-mesh, so
+            # a mixed list degrades to CPU-only — say so instead of silence
+            print(f"Warning: mixed device list {gpu!r} runs CPU-only in this build "
+                  "(GSPMD placement does not mix accelerator and host devices).")
     else:
         ids = [int(i) for i in gpu.split(",")]
         all_devices = jax.devices()

@@ -15,6 +15,19 @@ circular buffer of static size so the whole optimiser lives inside ``jit`` /
 torch is covered by tests/test_lbfgs.py).  Tolerance-based early stopping
 (tolerance_grad/tolerance_change) is intentionally not replicated: the
 reference runs with both set to -1 (never triggers) by default.
+
+Performance: at N = 3.1M / m = 100 the (m, N) histories dominate HBM traffic,
+so the update is organised to stream each exactly TWICE per iteration:
+
+- one fused projection pass  [s; y; g] @ histᵀ  per history supplies the
+  incremental m×m gram updates AND the Sᵀg / Yᵀg projections
+- one recombination matvec  coeff @ hist  (1, N)  per history
+
+The m×m compact-representation algebra (Byrd–Nocedal–Schnabel:
+H g = γ g + S w − γ Y u, two triangular solves) runs on the tiny side.
+The classic sequential two-loop recursion (2m dependent vector ops) is kept
+as method="two_loop" — it needs no m×m gram state and no history transposes,
+so it wins when HBM capacity is the binding constraint (see PERF.md).
 """
 
 from __future__ import annotations
@@ -30,9 +43,10 @@ import optax
 class LBFGSState(NamedTuple):
     s_hist: jax.Array  # (m, N)
     y_hist: jax.Array  # (m, N)
-    rho: jax.Array  # (m,)
+    rho: jax.Array  # (m,)  (two_loop method)
     w_sy: jax.Array  # (m, m) S^T Y gram, absolute slots (compact method)
     w_yy: jax.Array  # (m, m) Y^T Y gram, absolute slots (compact method)
+    proj: jax.Array  # (2, m) — (Sᵀg, Yᵀg) for the current g (compact method)
     count: jax.Array  # () int32 — number of valid history entries
     ptr: jax.Array  # () int32 — next write slot (circular)
     prev_grad: jax.Array  # (N,)
@@ -45,17 +59,7 @@ class LBFGSState(NamedTuple):
 def lbfgs(
     learning_rate: float = 1.0, history_size: int = 100, method: str = "compact"
 ) -> optax.GradientTransformation:
-    """torch-semantics L-BFGS.
-
-    method="two_loop" is the literal sequential recursion (matches torch's
-    accumulation order most closely).  method="compact" (default) is the
-    algebraically identical Byrd–Nocedal–Schnabel compact representation:
-    H g = γ g + S w − γ Y u with u = R⁻¹ Sᵀg and
-    w = R⁻ᵀ((D + γYᵀY)u − γYᵀg), where R = triu(SᵀY), D = diag(SᵀY).
-    The 2m sequential vector ops become five (m, N) MXU matvecs plus m×m
-    triangular solves — ~7x faster at N = 3M, m = 100 (PERF.md); the m×m
-    grams are maintained incrementally on history insert.
-    """
+    """torch-semantics L-BFGS (see module docstring for the two methods)."""
     m = int(history_size)
     lr = float(learning_rate)
     if method not in ("compact", "two_loop"):
@@ -71,6 +75,7 @@ def lbfgs(
             rho=z((m,), flat.dtype),
             w_sy=z((m, m), flat.dtype),
             w_yy=z((m, m), flat.dtype),
+            proj=z((2, m), flat.dtype),
             count=jnp.zeros((), jnp.int32),
             ptr=jnp.zeros((), jnp.int32),
             prev_grad=z((n,), flat.dtype),
@@ -85,36 +90,56 @@ def lbfgs(
     def update(grads, state: LBFGSState, params=None):
         g, unravel = jax.flatten_util.ravel_pytree(grads)
 
-        def with_history(state: LBFGSState) -> LBFGSState:
-            y = g - state.prev_grad
-            s = state.prev_d * state.prev_t
-            ys = jnp.dot(y, s, precision=HI)
+        # No lax.cond anywhere: conditional branches around the (m, N)
+        # history writes break XLA's in-place buffer analysis inside the
+        # larger scan program (measured ~26 ms/iter of 1.26 GB copies at
+        # 1024²/m=100).  The torch guard "insert only when y·s > 1e-10" is
+        # expressed as masked writes instead; on the first step prev_d = 0
+        # gives ys = 0, which also covers torch's no-history first iteration.
+        y = g - state.prev_grad
+        s = state.prev_d * state.prev_t
 
-            def insert(st: LBFGSState) -> LBFGSState:
-                s_hist = st.s_hist.at[st.ptr].set(s)
-                y_hist = st.y_hist.at[st.ptr].set(y)
-                new = st._replace(
-                    s_hist=s_hist,
-                    y_hist=y_hist,
-                    rho=st.rho.at[st.ptr].set(1.0 / ys),
-                    ptr=(st.ptr + 1) % m,
-                    count=jnp.minimum(st.count + 1, m),
-                    h_diag=ys / jnp.dot(y, y, precision=HI),
-                )
-                if method == "compact":
-                    # maintain the m x m grams: row/col for the new pair
-                    sy_row = jnp.einsum("n,mn->m", s, y_hist, precision=HI)  # s · all y
-                    sy_col = jnp.einsum("n,mn->m", y, s_hist, precision=HI)  # all s · y
-                    yy_col = jnp.einsum("n,mn->m", y, y_hist, precision=HI)
-                    w_sy = st.w_sy.at[st.ptr, :].set(sy_row).at[:, st.ptr].set(sy_col)
-                    w_sy = w_sy.at[st.ptr, st.ptr].set(ys)
-                    w_yy = st.w_yy.at[st.ptr, :].set(yy_col).at[:, st.ptr].set(yy_col)
-                    new = new._replace(w_sy=w_sy, w_yy=w_yy)
-                return new
+        # ---- the single streaming pass over the history ----
+        # P[k, c, :] = <A_k, hist_c> for A = [s, y, g]; plus the 3x3 gram
+        # of A itself for the new pair's own products (ys, yy, s·g, y·g).
+        a = jnp.stack([s, y, g])  # (3, N)
+        dims = (((1,), (1,)), ((), ()))
+        p_s = jax.lax.dot_general(a, state.s_hist, dims, precision=HI)  # (3, m)
+        p_y = jax.lax.dot_general(a, state.y_hist, dims, precision=HI)  # (3, m)
+        gram3 = jax.lax.dot_general(a, a, dims, precision=HI)
+        ys, yy = gram3[0, 1], gram3[1, 1]
+        sg, yg = gram3[0, 2], gram3[1, 2]
 
-            return jax.lax.cond(ys > 1e-10, insert, lambda st: st, state)
+        ok = ys > 1e-10
+        k = state.ptr
+        okf = ok.astype(g.dtype)
+        # masked row write: keep the old row when not inserting (row-sized
+        # blend, so the (m, N) buffers update in place)
+        old_s = jax.lax.dynamic_slice_in_dim(state.s_hist, k, 1, 0)[0]
+        old_y = jax.lax.dynamic_slice_in_dim(state.y_hist, k, 1, 0)[0]
+        s_hist = state.s_hist.at[k].set(okf * s + (1 - okf) * old_s)
+        y_hist = state.y_hist.at[k].set(okf * y + (1 - okf) * old_y)
 
-        state = jax.lax.cond(state.step > 0, with_history, lambda st: st, state)
+        # patch slot k of the projections: the stale row was replaced
+        sy_row = p_y[0].at[k].set(ys)  # s · Y
+        sy_col = p_s[1].at[k].set(ys)  # Sᵀ y
+        yy_col = p_y[1].at[k].set(yy)  # Yᵀ y
+        w_sy = state.w_sy.at[k, :].set(sy_row).at[:, k].set(sy_col)
+        w_yy = state.w_yy.at[k, :].set(yy_col).at[:, k].set(yy_col)
+        proj_ins = jnp.stack([p_s[2].at[k].set(sg), p_y[2].at[k].set(yg)])
+        proj_keep = jnp.stack([p_s[2], p_y[2]])
+
+        state = state._replace(
+            s_hist=s_hist,
+            y_hist=y_hist,
+            rho=jnp.where(ok, state.rho.at[k].set(1.0 / ys), state.rho),
+            w_sy=jnp.where(ok, w_sy, state.w_sy),
+            w_yy=jnp.where(ok, w_yy, state.w_yy),
+            proj=jnp.where(ok, proj_ins, proj_keep),
+            ptr=jnp.where(ok, (k + 1) % m, k),
+            count=jnp.where(ok, jnp.minimum(state.count + 1, m), state.count),
+            h_diag=jnp.where(ok, ys / yy, state.h_diag),
+        )
 
         if method == "compact":
             d = -_compact_hg(state, g, m)
@@ -164,7 +189,12 @@ def _two_loop_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
 
 
 def _compact_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
-    """H g via the compact representation (algebraically == two-loop)."""
+    """H g via the compact representation (algebraically == two-loop).
+
+    All inputs that touch the (2m, N) history were precomputed in the update's
+    single projection pass (``state.proj``); this function only does m×m-sized
+    algebra plus ONE recombination matvec over the history.
+    """
     HI = jax.lax.Precision.HIGHEST
     gamma = state.h_diag
     # chronological ordering of circular slots, oldest first; the first
@@ -183,8 +213,8 @@ def _compact_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
     r = r + jnp.diag(jnp.where(valid, 0.0, 1.0))  # identity rows for stale slots
     dvec = jnp.diag(sy)
 
-    p1 = jnp.where(valid, jnp.einsum("mn,n->m", state.s_hist, g, precision=HI)[ord_], 0.0)
-    p2 = jnp.where(valid, jnp.einsum("mn,n->m", state.y_hist, g, precision=HI)[ord_], 0.0)
+    p1 = jnp.where(valid, state.proj[0][ord_], 0.0)
+    p2 = jnp.where(valid, state.proj[1][ord_], 0.0)
 
     u = jax.scipy.linalg.solve_triangular(r, p1, lower=False)
     w = jax.scipy.linalg.solve_triangular(
@@ -193,13 +223,14 @@ def _compact_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
     u = jnp.where(valid, u, 0.0)
     w = jnp.where(valid, w, 0.0)
 
-    # scatter chronological coefficients back to absolute slots
+    # scatter chronological coefficients back to absolute slots; one matvec
+    # per history buffer: hg = γg + w_abs @ S − γ u_abs @ Y
     coeff_s = jnp.zeros((m,), g.dtype).at[ord_].set(w)
     coeff_y = jnp.zeros((m,), g.dtype).at[ord_].set(-gamma * u)
-    hg = gamma * g
-    hg = hg + jnp.einsum("m,mn->n", coeff_s, state.s_hist, precision=HI)
-    hg = hg + jnp.einsum("m,mn->n", coeff_y, state.y_hist, precision=HI)
-    return hg
+    dims = (((1,), (0,)), ((), ()))
+    recomb_s = jax.lax.dot_general(coeff_s[None], state.s_hist, dims, precision=HI)[0]
+    recomb_y = jax.lax.dot_general(coeff_y[None], state.y_hist, dims, precision=HI)[0]
+    return gamma * g + recomb_s + recomb_y
 
 
 __all__ = ["lbfgs", "LBFGSState"]

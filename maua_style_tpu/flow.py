@@ -3,18 +3,23 @@
 - ``get_flow_model(args)``: ensemble closure averaging the selected
   estimators' predictions (reference flow.py:33-74) — all JAX reimplementations
   (models/flownets), no submodule source patching needed.
-- ``check_consistency``: Ruder-style forward/backward occlusion check
-  (reference flow.py:77-137), vectorised in numpy.
-- ``flow_to_image``: Middlebury colour-wheel visualisation
-  (reference flow.py:140-265).
+- ``check_consistency``: forward/backward occlusion check with the same
+  semantics as the reference (flow.py:77-137, the Ruder et al. consistency
+  algorithm) but implemented as a single vectorised JAX program that runs on
+  the TPU; ``get_flow_pair_model`` fuses it with the flow estimation itself so
+  the whole per-frame-pair prepass is ONE device call.
+- ``flow_to_image``: Middlebury colour-wheel visualisation (semantics of
+  reference flow.py:140-265), vectorised over pixels and channels.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
+from .ops.gaussian import gaussian_blur
 from .ops.resize import resize_bilinear
 
 _MODEL_CACHE: dict[str, object] = {}
@@ -95,130 +100,187 @@ def get_flow_model(args):
     return estimate
 
 
+def _sample_border(field: jax.Array, px: jax.Array, py: jax.Array) -> jax.Array:
+    """Bilinear sample of an (H, W, C) field at float pixel coords, clamping
+    taps to the border.  px/py are (H, W)."""
+    h, w = field.shape[:2]
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    tx = (px - x0)[..., None]
+    ty = (py - y0)[..., None]
+
+    def tap(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        return field[yc, xc]
+
+    top = tap(y0, x0) * (1 - tx) + tap(y0, x0 + 1) * tx
+    bot = tap(y0 + 1, x0) * (1 - tx) + tap(y0 + 1, x0 + 1) * tx
+    return top * (1 - ty) + bot * ty
+
+
+def _forward_diff_energy(f: jax.Array) -> jax.Array:
+    """Sum of squared forward differences of a flow field along both image
+    axes (zero-padded past the last row/column, i.e. the final difference is
+    taken against 0)."""
+    dx = jnp.concatenate([f[:, 1:] - f[:, :-1], -f[:, -1:]], axis=1)
+    dy = jnp.concatenate([f[1:] - f[:-1], -f[-1:]], axis=0)
+    return jnp.sum(dx * dx + dy * dy, axis=-1)
+
+
+def _reliability(fwd: jax.Array, bwd: jax.Array) -> jax.Array:
+    """Occlusion/reliability map in [0, 1] for warping *along* ``fwd``.
+
+    Same decision rule as the reference (flow.py:77-137, Ruder et al. 2016
+    artistic-video consistency check), as one fused device program:
+      * round-trip error ||fwd + bwd(p + fwd)||² over a motion-dependent
+        threshold marks occlusions (-1, so the later blur bleeds them outward)
+      * pixels displaced out of frame are unreliable (0)
+      * motion boundaries — large local flow gradients — are unreliable (0)
+      * gaussian blur (sigma 5) then clip to [0, 1].
+    Flow components are (x, y); coordinates never leave the device.
+    """
+    fwd = fwd.astype(jnp.float32)
+    bwd = bwd.astype(jnp.float32)
+    h, w = fwd.shape[:2]
+    px = jnp.arange(w, dtype=jnp.float32)[None, :] + fwd[..., 0]
+    py = jnp.arange(h, dtype=jnp.float32)[:, None] + fwd[..., 1]
+
+    bwd_at = _sample_border(bwd, jnp.clip(px, 0, w - 2), jnp.clip(py, 0, h - 2))
+    roundtrip = fwd + bwd_at
+    err = jnp.sum(roundtrip * roundtrip, axis=-1)
+    occ_thresh = 0.01 * jnp.sum(bwd_at * bwd_at + fwd * fwd, axis=-1) + 0.5
+    rel = jnp.where(err >= occ_thresh, -1.0, 1.0)
+
+    in_frame = (px >= 0) & (py >= 0) & (px < w - 1) & (py < h - 1)
+    rel = jnp.where(in_frame, rel, 0.0)
+
+    edge_thresh = 0.01 * jnp.sum(fwd * fwd, axis=-1) + 0.002
+    at_edge = _forward_diff_energy(fwd) > edge_thresh
+    rel = jnp.where(at_edge & (rel != -1.0), 0.0, rel)
+
+    return jnp.clip(gaussian_blur(rel, 5.0), 0.0, 1.0)
+
+
+_CONSISTENCY_JIT = None
+
+
 def check_consistency(flow1: np.ndarray, flow2: np.ndarray) -> np.ndarray:
-    """Forward-backward consistency -> reliability map in [0, 1]
-    (reference flow.py:77-137): round-trip coordinate error vs a
-    motion-dependent threshold marks occlusions (-1, blurred outward),
-    out-of-frame pixels are 0, and motion edges (large flow gradients) 0."""
-    import scipy.ndimage
+    """Forward-backward consistency -> reliability map in [0, 1] (see
+    ``_reliability``; numpy in/out convenience wrapper, device compute)."""
+    global _CONSISTENCY_JIT
+    if _CONSISTENCY_JIT is None:
+        _CONSISTENCY_JIT = jax.jit(_reliability)
+    return np.asarray(_CONSISTENCY_JIT(jnp.asarray(flow1), jnp.asarray(flow2)))
 
-    flow1 = np.flip(flow1, axis=2)  # to (y, x) component order
-    flow2 = np.flip(flow2, axis=2)
-    h, w, _ = flow1.shape
 
-    orig_coord = np.flip(np.mgrid[:w, :h], 0).T
-    warp_coord = orig_coord + flow1
+def get_flow_pair_model(args):
+    """Fused per-frame-pair prepass: ONE jitted device program computing
+    (forward flow, backward flow, forward reliability, backward reliability)
+    for the selected ensemble — replaces four eager calls + host consistency
+    math per pair (reference load.py:155-169 structure)."""
+    names = [n.strip() for n in str(args.flow_models).split(",") if n.strip()]
+    nets = [_get_net(n) for n in names]
+    if not nets:
+        raise ValueError("no flow models selected")
+    cache: dict[tuple, object] = {}
 
-    warp_inb = np.zeros_like(warp_coord)
-    warp_inb[:, :, 0] = np.clip(warp_coord[:, :, 0], 0, h - 2)
-    warp_inb[:, :, 1] = np.clip(warp_coord[:, :, 1], 0, w - 2)
-    floor = np.floor(warp_inb).astype(np.int64)
+    def pair(im1: np.ndarray, im2: np.ndarray):
+        h, w = im1.shape[:2]
+        h64 = max(64, int(np.ceil(h / 64)) * 64)
+        w64 = max(64, int(np.ceil(w / 64)) * 64)
+        if (h, w) not in cache:
 
-    alpha = warp_inb - floor
-    f00 = flow2[floor[:, :, 0], floor[:, :, 1]]
-    f01 = flow2[floor[:, :, 0], floor[:, :, 1] + 1]
-    f10 = flow2[floor[:, :, 0] + 1, floor[:, :, 1]]
-    f11 = flow2[floor[:, :, 0] + 1, floor[:, :, 1] + 1]
-    blend0 = (1 - alpha[:, :, 1, None]) * f00 + alpha[:, :, 1, None] * f01
-    blend1 = (1 - alpha[:, :, 1, None]) * f10 + alpha[:, :, 1, None] * f11
-    flow2_at_warp = (1 - alpha[:, :, 0, None]) * blend0 + alpha[:, :, 0, None] * blend1
+            def ensemble(a, b):
+                t1 = resize_bilinear(a.astype(jnp.float32)[None] / 255.0, size=(h64, w64))
+                t2 = resize_bilinear(b.astype(jnp.float32)[None] / 255.0, size=(h64, w64))
+                acc = 0.0
+                for net in nets:
+                    acc = acc + resize_bilinear(net._forward(net.params, t1, t2), size=(h, w))[0]
+                return acc * jnp.asarray([w / w64, h / h64], jnp.float32) / len(nets)
 
-    rewarp = warp_coord + flow2_at_warp
-    squared_diff = np.sum((rewarp - orig_coord) ** 2, axis=2)
-    threshold = 0.01 * np.sum(flow2_at_warp ** 2 + flow1 ** 2, axis=2) + 0.5
-    reliable = np.where(squared_diff >= threshold, -1.0, 1.0)
+            def run(a, b):
+                fwd = ensemble(a, b)
+                bwd = ensemble(b, a)
+                return fwd, bwd, _reliability(fwd, bwd), _reliability(bwd, fwd)
 
-    out_of_frame = (
-        (warp_coord[:, :, 0] < 0)
-        | (warp_coord[:, :, 1] < 0)
-        | (warp_coord[:, :, 0] >= h - 1)
-        | (warp_coord[:, :, 1] >= w - 1)
-    )
-    reliable = np.where(out_of_frame, 0.0, reliable)
+            cache[(h, w)] = jax.jit(run)
+        out = cache[(h, w)](jnp.asarray(im1), jnp.asarray(im2))
+        return tuple(np.asarray(o) for o in out)
 
-    dx = np.diff(flow1, axis=1, append=0)
-    dy = np.diff(flow1, axis=0, append=0)
-    motion_edge = np.sum(dx ** 2 + dy ** 2, axis=2)
-    motion_threshold = 0.01 * np.sum(flow1 ** 2, axis=2) + 0.002
-    reliable = np.where((motion_edge > motion_threshold) & (reliable != -1), 0.0, reliable)
-
-    reliable = scipy.ndimage.gaussian_filter(reliable, [5, 5])
-    return reliable.clip(0, 1)
+    return pair
 
 
 # ---------------------------------------------------------------------------
-# Middlebury flow visualisation (reference flow.py:140-265)
+# Middlebury flow visualisation (semantics of reference flow.py:140-265)
+
+_WHEEL_ANCHORS = np.array(
+    # red -> yellow -> green -> cyan -> blue -> magenta -> red
+    [[255, 0, 0], [255, 255, 0], [0, 255, 0], [0, 255, 255], [0, 0, 255], [255, 0, 255], [255, 0, 0]],
+    dtype=np.float64,
+)
+_WHEEL_SEGMENT_LENGTHS = (15, 6, 4, 11, 13, 6)
 
 
 def make_color_wheel() -> np.ndarray:
-    RY, YG, GC, CB, BM, MR = 15, 6, 4, 11, 13, 6
-    ncols = RY + YG + GC + CB + BM + MR
-    wheel = np.zeros([ncols, 3])
-    col = 0
-    wheel[0:RY, 0] = 255
-    wheel[0:RY, 1] = np.floor(255 * np.arange(0, RY) / RY)
-    col += RY
-    wheel[col : col + YG, 0] = 255 - np.floor(255 * np.arange(0, YG) / YG)
-    wheel[col : col + YG, 1] = 255
-    col += YG
-    wheel[col : col + GC, 1] = 255
-    wheel[col : col + GC, 2] = np.floor(255 * np.arange(0, GC) / GC)
-    col += GC
-    wheel[col : col + CB, 1] = 255 - np.floor(255 * np.arange(0, CB) / CB)
-    wheel[col : col + CB, 2] = 255
-    col += CB
-    wheel[col : col + BM, 2] = 255
-    wheel[col : col + BM, 0] = np.floor(255 * np.arange(0, BM) / BM)
-    col += BM
-    wheel[col : col + MR, 2] = 255 - np.floor(255 * np.arange(0, MR) / MR)
-    wheel[col : col + MR, 0] = 255
-    return wheel
-
-
-def compute_color(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    h, w = u.shape
-    img = np.zeros([h, w, 3])
-    nan_idx = np.isnan(u) | np.isnan(v)
-    u = np.where(nan_idx, 0, u)
-    v = np.where(nan_idx, 0, v)
-
-    wheel = make_color_wheel()
-    ncols = wheel.shape[0]
-    rad = np.sqrt(u ** 2 + v ** 2)
-    a = np.arctan2(-v, -u) / np.pi
-    fk = (a + 1) / 2 * (ncols - 1) + 1
-    k0 = np.floor(fk).astype(int)
-    k1 = k0 + 1
-    k1[k1 == ncols + 1] = 1
-    f = fk - k0
-
-    for i in range(wheel.shape[1]):
-        tmp = wheel[:, i]
-        col0 = tmp[k0 - 1] / 255
-        col1 = tmp[k1 - 1] / 255
-        col = (1 - f) * col0 + f * col1
-        idx = rad <= 1
-        col[idx] = 1 - rad[idx] * (1 - col[idx])
-        col[~idx] *= 0.75
-        img[:, :, i] = np.uint8(np.floor(255 * col * (1 - nan_idx)))
-    return img
+    """Middlebury colour wheel: six hue segments of uneven length stepping
+    between the primary/secondary RGB anchors (integer ramps)."""
+    rows = []
+    for i, length in enumerate(_WHEEL_SEGMENT_LENGTHS):
+        a, b = _WHEEL_ANCHORS[i], _WHEEL_ANCHORS[i + 1]
+        t = np.arange(length, dtype=np.float64)[:, None]
+        rows.append(a + np.sign(b - a) * np.floor(np.abs(b - a) * t / length))
+    return np.concatenate(rows, axis=0)
 
 
 def flow_to_image(flow: np.ndarray) -> np.ndarray:
-    """Flow -> Middlebury colour image (uint8)."""
-    UNKNOWN = 1e7
-    u = flow[:, :, 0].copy()
-    v = flow[:, :, 1].copy()
-    unknown = (np.abs(u) > UNKNOWN) | (np.abs(v) > UNKNOWN)
-    u[unknown] = 0
-    v[unknown] = 0
-    rad = np.sqrt(u ** 2 + v ** 2)
-    maxrad = max(-1, np.max(rad))
-    u = u / (maxrad + np.finfo(float).eps)
-    v = v / (maxrad + np.finfo(float).eps)
-    img = compute_color(u, v)
-    img[np.repeat(unknown[:, :, None], 3, axis=2)] = 0
-    return np.uint8(img)
+    """Flow -> Middlebury colour image (uint8): hue from direction via the
+    colour wheel, saturation from magnitude (normalised to the frame max)."""
+    u = flow[..., 0].astype(np.float64)
+    v = flow[..., 1].astype(np.float64)
+    unknown = (~np.isfinite(u)) | (~np.isfinite(v)) | (np.abs(u) > 1e7) | (np.abs(v) > 1e7)
+    u = np.where(unknown, 0.0, u)
+    v = np.where(unknown, 0.0, v)
+
+    scale = max(np.max(np.hypot(u, v)), -1.0) + np.finfo(float).eps
+    u, v = u / scale, v / scale
+    rad = np.hypot(u, v)[..., None]
+
+    wheel = make_color_wheel() / 255.0
+    ncols = wheel.shape[0]
+    pos = (np.arctan2(-v, -u) / np.pi + 1.0) / 2.0 * (ncols - 1)  # [0, ncols-1]
+    k0 = np.floor(pos).astype(np.int64)
+    frac = (pos - k0)[..., None]
+    col = (1.0 - frac) * wheel[k0] + frac * wheel[(k0 + 1) % ncols]
+    col = np.where(rad <= 1.0, 1.0 - rad * (1.0 - col), 0.75 * col)
+    col = np.where(unknown[..., None], 0.0, col)
+    return np.floor(255.0 * col).astype(np.uint8)
 
 
-__all__ = ["get_flow_model", "predict", "check_consistency", "flow_to_image", "compute_color", "make_color_wheel"]
+def compute_color(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Colour-code pre-normalised flow components (compat shim over
+    ``flow_to_image``'s vectorised core, without re-normalisation)."""
+    rad = np.hypot(u, v)[..., None]
+    wheel = make_color_wheel() / 255.0
+    ncols = wheel.shape[0]
+    nan_mask = np.isnan(u) | np.isnan(v)
+    u = np.where(nan_mask, 0.0, u)
+    v = np.where(nan_mask, 0.0, v)
+    pos = (np.arctan2(-v, -u) / np.pi + 1.0) / 2.0 * (ncols - 1)
+    k0 = np.floor(pos).astype(np.int64)
+    frac = (pos - k0)[..., None]
+    col = (1.0 - frac) * wheel[k0] + frac * wheel[(k0 + 1) % ncols]
+    col = np.where(np.nan_to_num(rad) <= 1.0, 1.0 - np.nan_to_num(rad) * (1.0 - col), 0.75 * col)
+    col = np.where(nan_mask[..., None], 0.0, col)
+    return np.floor(255.0 * col)
+
+
+__all__ = [
+    "get_flow_model",
+    "get_flow_pair_model",
+    "predict",
+    "check_consistency",
+    "flow_to_image",
+    "compute_color",
+    "make_color_wheel",
+]

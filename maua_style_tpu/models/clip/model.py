@@ -8,8 +8,9 @@ OpenAI torch checkpoints map onto the parameter pytree (convert.py).  Both
 encoders are pure functions, jitted by the caller; attention runs as batched
 MXU matmuls.
 
-ResNet backbones (RN50/101/50x4) are accepted at the CLI for reference
-compatibility but raise until implemented.
+The ModifiedResNet backbones (RN50/RN101/RN50x4 — attention-pooled,
+blur-pooled ResNets) live in resnet.py and are dispatched by backbone name
+(pipelines/clip_vqgan.py), with the same checkpoint-convertible layout.
 """
 
 from __future__ import annotations

@@ -37,7 +37,7 @@ def _rgb01_to_bgr(x: np.ndarray) -> np.ndarray:
 def clip_video_style(args) -> None:
     output_dir = args.output_dir + "/" + name(args.content) + "_" + "_".join(name(s) for s in args.style)
 
-    flow_model = flowmod.get_flow_model(args)
+    flow_model = flowmod.get_flow_pair_model(args)
     frames = process_content_video(flow_model, args)
     style_images_big = mio.process_style_images(args)
     engine = get_engine(args.vqgan_dir, args.clip_backbone)

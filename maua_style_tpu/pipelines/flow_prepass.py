@@ -62,18 +62,25 @@ def process_content_video(model, args) -> list[str]:
         im1 = np.array(Image.open(img_file1).convert("RGB"))
         im2 = np.array(Image.open(img_file2).convert("RGB"))
 
-        forward = model(im1, im2)
+        # Fused pair models (flow.get_flow_pair_model) return all four maps
+        # from one device program; plain estimate closures return one flow.
+        result = model(im1, im2)
+        if isinstance(result, tuple):
+            forward, backward, fwd_rel, bwd_rel = result
+        else:
+            forward, backward = result, model(im2, im1)
+            fwd_rel = bwd_rel = None
         write_flo(forward, f"{flow_dir}/forward_{n1}_{n2}.flo")
-        backward = model(im2, im1)
         write_flo(backward, f"{flow_dir}/backward_{n2}_{n1}.flo")
 
         if getattr(args, "no_check_occlusion", False):
             fwd_img = Image.fromarray(flowmod.flow_to_image(forward)).convert("L")
             bwd_img = Image.fromarray(flowmod.flow_to_image(backward)).convert("L")
         else:
-            fwd_rel = flowmod.check_consistency(forward, backward)
+            if fwd_rel is None:
+                fwd_rel = flowmod.check_consistency(forward, backward)
+                bwd_rel = flowmod.check_consistency(backward, forward)
             fwd_img = Image.fromarray(((1 - fwd_rel) * 255).astype(np.uint8)).convert("L")
-            bwd_rel = flowmod.check_consistency(backward, forward)
             bwd_img = Image.fromarray(((1 - bwd_rel) * 255).astype(np.uint8)).convert("L")
         fwd_img.save(f"{flow_dir}/forward_{n1}_{n2}.png")
         bwd_img.save(f"{flow_dir}/backward_{n2}_{n1}.png")

@@ -23,7 +23,7 @@ from .frame_loop import run_video_style_passes
 def vid_img(args) -> None:
     output_dir = args.output_dir + "/" + name(args.content) + "_" + "_".join(name(s) for s in args.style)
 
-    flow_model = flowmod.get_flow_model(args)
+    flow_model = flowmod.get_flow_pair_model(args)
     frames = process_content_video(flow_model, args)
     style_images_big = mio.process_style_images(args)
 

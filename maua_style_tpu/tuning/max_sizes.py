@@ -47,12 +47,16 @@ def _loss_cfg_for(model: str):
 
 
 def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: int = 100,
-                        layers=None, lbfgs_method: str = "compact") -> int:
-    """Analytic footprint of one jitted style-transfer step at size x size.
+                        layers=None, lbfgs_method: str = "compact", devices: int = 1) -> int:
+    """Analytic PER-CHIP footprint of one jitted style-transfer step at
+    size x size over ``devices`` chips (spatial "space" mesh axis).
 
     Counts pastiche + stored forward activations (+~1x for backward buffers)
     + Gram workspaces + optimizer state.  Constants calibrated against XLA
-    memory analysis at 1024^2 on v5e.
+    memory analysis at 1024^2 on v5e.  Under GSPMD spatial sharding the
+    pastiche, activations and optimizer state (a pytree shaped like the
+    pastiche) all shard with the height axis; weights and Gram workspaces
+    replicate, and halo exchange adds a small per-boundary overlap.
     """
     from ..models import select_model, truncate_spec
 
@@ -91,28 +95,48 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
         # (both factors measured via XLA memory analysis)
         factor = 5.3 if lbfgs_method == "compact" else 4.0
         total += factor * lbfgs_history * pixels + 6 * pixels
+    if devices > 1:
+        # sharded terms split across the space axis; ~3% halo/all-gather slack
+        total = total / devices * 1.03
     params_bytes = 0
     cin = spec.in_ch
     for l in spec.conv_layers:
         params_bytes += l.kernel[0] * l.kernel[1] * cin * l.out_ch * f32
         cin = l.out_ch
-    total += params_bytes + 64 * 1024 * 1024  # weights + runtime slack
+    total += params_bytes + 64 * 1024 * 1024  # weights + runtime slack (replicated)
     return int(total)
 
 
-def _compiled_step_bytes(model: str, optimizer: str, size: int) -> int:
+def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1) -> int:
     """Compile the actual jitted step at this size and read XLA's memory
-    analysis (argument + output + temp)."""
+    analysis (argument + output + temp).  With ``devices`` > 1 the step is
+    GSPMD-compiled over a "space" mesh (spatially sharded pastiche) and the
+    analysis reports the per-chip footprint — run under a virtual CPU mesh
+    (XLA_FLAGS=--xla_force_host_platform_device_count=N) to emit n-chip
+    tables without n real chips."""
     import jax
     import jax.numpy as jnp
 
     from ..engine import StyleEngine
     from ..models import select_model, init_params
 
+    sharding = None
+    if devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel import build_mesh
+
+        if len(jax.devices()) < devices:
+            raise RuntimeError(f"need {devices} devices for the sharded probe, have {len(jax.devices())}")
+        mesh = build_mesh(jax.devices()[:devices], [("space", devices)])
+        sharding = NamedSharding(mesh, P(None, "space"))
+
     cfg = _loss_cfg_for(model)
     spec = select_model(model, "max")
     params = init_params(spec, 0)
-    engine = StyleEngine(spec, params, cfg, optimizer=optimizer, learning_rate=1.0)
+    engine = StyleEngine(
+        spec, params, cfg, optimizer=optimizer, learning_rate=1.0, pastiche_sharding=sharding
+    )
 
     shape = (1, size, size, 3)
     targets = {
@@ -121,6 +145,10 @@ def _compiled_step_bytes(model: str, optimizer: str, size: int) -> int:
     }
     opt = engine._make_optimizer()
     pastiche = jnp.zeros(shape)
+    if sharding is not None:
+        import jax as _jax
+
+        pastiche = _jax.device_put(pastiche, sharding)
     opt_state = opt.init(pastiche)
     runner = engine._runner(10, (), False)
     lowered = runner.lower(engine.params, pastiche, opt_state, targets, jnp.ones((1, 1, 1, 1)))
@@ -145,10 +173,16 @@ def probe_max_sizes(
     start_size: int = 512,
     budget_bytes: int | None = None,
     verbose: bool = True,
+    devices: int = 1,
 ) -> dict:
-    """Build the capacity table (reference max-sizes.py:59-111)."""
+    """Build the capacity table (reference max-sizes.py:59-111); ``devices``
+    probes the spatially-sharded step over an n-chip mesh (the analogue of
+    the reference's 2-GPU columns, config/max-sizes-2x11GB.json:62-121)."""
     budget = budget_bytes if budget_bytes is not None else hbm_bytes()
-    measure = estimate_step_bytes if method == "estimate" else _compiled_step_bytes
+
+    def measure(model, optimizer, size):
+        fn = estimate_step_bytes if method == "estimate" else _compiled_step_bytes
+        return fn(model, optimizer, size, devices=devices)
 
     table: dict[str, dict] = {}
     prev_safe = start_size
@@ -188,11 +222,11 @@ def probe_max_sizes(
                     else:
                         hi = mid
                 safe, true = lo, hi
-            key = f"{model},{optimizer},{jax_device_count()}"
+            key = f"{model},{optimizer},{devices}"
             table[key] = {
                 "model": model,
                 "optimizer": optimizer,
-                "devices": jax_device_count(),
+                "devices": devices,
                 "safe_max_size": safe,
                 "true_max_size": true,
                 "budget_gb": round(budget / 1024 ** 3, 2),
@@ -217,16 +251,24 @@ def main(argv=None):
     ap.add_argument("--method", choices=["estimate", "analysis"], default="estimate")
     ap.add_argument("--models", default=",".join(DEFAULT_MODELS))
     ap.add_argument("--optimizers", default=",".join(DEFAULT_OPTIMIZERS))
+    ap.add_argument("--devices", type=int, default=1,
+                    help="mesh size for the sharded probe (analysis mode needs that many "
+                    "JAX devices — use XLA_FLAGS=--xla_force_host_platform_device_count=N)")
+    ap.add_argument("--hbm_gb", type=float, default=None,
+                    help="override the per-chip HBM budget (default: this chip's)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
+    budget = int(args.hbm_gb * 1024 ** 3) if args.hbm_gb else None
     table = probe_max_sizes(
         models=args.models.split(","),
         optimizers=args.optimizers.split(","),
         method=args.method,
+        devices=args.devices,
+        budget_bytes=budget,
     )
-    gb = round(hbm_bytes() / 1024 ** 3)
-    out = args.out or f"configs/max-sizes-{gb}GB-{jax_device_count()}chip.json"
+    gb = round((budget or hbm_bytes()) / 1024 ** 3)
+    out = args.out or f"configs/max-sizes-{gb}GB-{args.devices}chip.json"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     with open(out, "w") as f:
         json.dump(table, f, indent=2)

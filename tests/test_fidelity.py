@@ -1,0 +1,299 @@
+"""End-to-end fidelity vs the reference pipeline (BASELINE.md: SSIM >= 0.98).
+
+A miniature torch replica of the reference's optimize loop — the same oracle
+style as test_models.py, extended through the full optimisation: the
+loss-instrumented forward (reference models.py:351-453), ContentLoss /
+StyleLoss / TVLoss / ScaleGradients semantics (loss.py), torch L-BFGS /
+Adam driver quirks included (optim.py:180-241: single LBFGS ``.step`` with
+``max_iter=num_iters``; the Adam while-loop runs ``num_iters + 1`` steps),
+and the img_img multi-scale rescale schedule (style.py:31-66).
+
+Both sides run from the SAME randomly-initialised torch weights (converted
+to the JAX extractor) on the same inputs; outputs are compared with SSIM.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from maua_style_tpu.engine import StyleEngine
+from maua_style_tpu.losses import LossConfig
+from maua_style_tpu.models import select_model
+from maua_style_tpu.models.registry import CHANNEL_LIST
+
+from test_models import build_torch_vgg, params_from_torch
+
+# ---------------------------------------------------------------------------
+# torch oracle: reference loss + optimize semantics
+
+
+class _ScaleGradients(torch.autograd.Function):
+    """Reference loss.py:10-20: identity forward; backward L2-normalises the
+    gradient then scales by strength^2."""
+
+    @staticmethod
+    def forward(ctx, x, strength):
+        ctx.strength = strength
+        return x
+
+    @staticmethod
+    def backward(ctx, grad):
+        return grad / (torch.norm(grad, keepdim=True) + 1e-8) * ctx.strength ** 2, None
+
+
+def _extract(net, x):
+    """Named relu activations of the sequential torch VGG replica."""
+    acts = {}
+    block, conv = 1, 0
+    for mod in net:
+        x = mod(x)
+        if isinstance(mod, nn.Conv2d):
+            conv += 1
+        elif isinstance(mod, nn.ReLU):
+            acts[f"relu{block}_{conv}"] = x
+        elif isinstance(mod, (nn.MaxPool2d, nn.AvgPool2d)):
+            block, conv = block + 1, 0
+    return acts
+
+
+def _gram(a):
+    b, c, h, w = a.shape
+    flat = a.reshape(b * c, h * w)
+    return flat @ flat.t()
+
+
+class RefOracle:
+    """The reference's optimize() (optim.py:111-255) on a torch feature net,
+    for single-frame pastiches (the img/frame path)."""
+
+    def __init__(self, net, cfg: LossConfig):
+        self.net = net
+        self.cfg = cfg
+
+    def capture(self, content, styles, blend_weights):
+        cfg = self.cfg
+        with torch.no_grad():
+            acts = _extract(self.net, content)
+            self.content_targets = {l: acts[l].detach() for l in cfg.content_layers}
+            self.style_targets = {}
+            for img, bw in zip(styles, blend_weights):
+                acts = _extract(self.net, img)
+                for l in cfg.style_layers:
+                    a = acts[l]
+                    tgt = 0
+                    for i in range(a.shape[0]):
+                        g = _gram(a[i : i + 1]) / a[i].nelement()
+                        tgt = tgt + bw * g / a.shape[0]
+                    self.style_targets[l] = self.style_targets.get(l, 0) + tgt
+
+    def loss(self, pastiche, temporal_target=None, temporal_weights=None):
+        cfg = self.cfg
+        b = pastiche.shape[0]
+        total = 0
+        # losses list order = content, style, tv, temporal (models.py:453);
+        # tv/temporal modules sit at the net front but accumulate identically
+        acts = _extract(self.net, pastiche)
+        for l in cfg.content_layers:
+            for i in range(b):
+                v = nn.functional.mse_loss(acts[l][i : i + 1], self.content_targets[l])
+                if cfg.normalize_gradients:
+                    v = _ScaleGradients.apply(v, cfg.content_weight)
+                total = total + v * cfg.content_weight / b
+        for l in cfg.style_layers:
+            a = acts[l]
+            for i in range(b):
+                g = _gram(a[i : i + 1]) / a[i].nelement()
+                v = nn.functional.mse_loss(g, self.style_targets[l])
+                if cfg.normalize_gradients:
+                    v = _ScaleGradients.apply(v, cfg.style_weight)
+                total = total + v * cfg.style_weight / b
+        if cfg.tv_weight > 0:
+            dh = pastiche[:, :, 1:, :] - pastiche[:, :, :-1, :]
+            dw = pastiche[:, :, :, 1:] - pastiche[:, :, :, :-1]
+            total = total + cfg.tv_weight * (dh.abs().sum() + dw.abs().sum())
+        if cfg.temporal_weight > 0 and temporal_target is not None:
+            for i in range(b):
+                inp = pastiche[i : i + 1]
+                if temporal_weights is not None:
+                    inp = inp * temporal_weights
+                v = nn.functional.mse_loss(inp, temporal_target)
+                if cfg.normalize_gradients:
+                    v = _ScaleGradients.apply(v, cfg.temporal_weight)
+                total = total + v * cfg.temporal_weight / b
+        return total
+
+    def optimize(self, content, styles, blend_weights, init, num_iters, optimizer, lr=1.0, **temporal):
+        self.capture(content, styles, blend_weights)
+        pastiche = nn.Parameter(init.clone())
+        if optimizer == "lbfgs":
+            opt = torch.optim.LBFGS(
+                [pastiche], max_iter=num_iters, tolerance_change=-1.0, tolerance_grad=-1.0, lr=lr
+            )
+            outer = 1
+        else:
+            opt = torch.optim.Adam([pastiche], lr=lr)
+            outer = num_iters
+
+        calls = [0]
+
+        def feval():
+            opt.zero_grad()
+            total = self.loss(pastiche, **temporal)
+            total.backward()
+            calls[0] += 1
+            return total
+
+        # reference drives via `while i <= iters: optimizer.step(feval)`
+        # (optim.py:240-241) — for Adam that is num_iters + 1 steps
+        while calls[0] <= outer:
+            opt.step(feval)
+        return pastiche.detach()
+
+
+# ---------------------------------------------------------------------------
+# SSIM (gaussian-weighted, 11x11 sigma 1.5 — the standard formulation)
+
+
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    from scipy.ndimage import gaussian_filter
+
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    blur = lambda x: gaussian_filter(x, sigma=(1.5, 1.5, 0), truncate=3.5)
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a ** 2
+    var_b = blur(b * b) - mu_b ** 2
+    cov = blur(a * b) - mu_a * mu_b
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / ((mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+    return float(s.mean())
+
+
+# ---------------------------------------------------------------------------
+# shared fixtures
+
+
+def _smooth(rng, h, w, amp=110.0):
+    """Deterministic smooth test image in the preprocessed (mean-subtracted,
+    0-centred, 255-scale) domain, NCHW torch tensor."""
+    from scipy.ndimage import gaussian_filter
+
+    x = rng.standard_normal((3, h, w))
+    x = gaussian_filter(x, sigma=(0, 6, 6))
+    x = x / (np.abs(x).max() + 1e-9) * amp
+    return torch.tensor(x[None], dtype=torch.float32)
+
+
+def _to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def _clip_img(x: np.ndarray) -> np.ndarray:
+    return np.clip(x + 128.0, 0.0, 255.0)
+
+
+def _setup(cfg: LossConfig, optimizer: str, lr: float, seed: int = 0):
+    torch.manual_seed(seed)
+    net = build_torch_vgg(CHANNEL_LIST["vgg19"], "max").eval()
+    for p in net.parameters():
+        p.requires_grad_(False)
+    spec = select_model("vgg19", "max")
+    params = params_from_torch(net, spec)
+    engine = StyleEngine(
+        spec, params, cfg, optimizer=optimizer, learning_rate=lr, precision="highest"
+    )
+    return net, engine
+
+
+CFG = LossConfig()  # reference defaults: relu4_2 content, relu{1..5}_1 style
+
+
+@pytest.mark.parametrize("optimizer,lr,iters", [("adam", 1.0, 40), ("lbfgs", 1.0, 30)])
+def test_fidelity_single_scale(optimizer, lr, iters):
+    rng = np.random.default_rng(0)
+    content = _smooth(rng, 128, 128)
+    style = _smooth(rng, 128, 128)
+    init = content.clone()
+
+    net, engine = _setup(CFG, optimizer, lr)
+    oracle = RefOracle(net, CFG)
+    ref = oracle.optimize(content, [style], [1.0], init, iters, optimizer, lr)
+    out = engine.optimize(_to_nhwc(content), [_to_nhwc(style)], _to_nhwc(init), iters, blend_weights=[1.0])
+
+    s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(out[0]))
+    assert s >= 0.98, f"SSIM {s:.4f} < 0.98 ({optimizer})"
+
+
+def test_fidelity_multiscale_img_img():
+    """Two-scale img_img schedule: content rescale, style area-matched rescale
+    (style.py:44-50), init from the upscaled previous pastiche."""
+    import torch.nn.functional as F
+
+    from maua_style_tpu.ops.resize import resize_bilinear
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    content_big = _smooth(rng, 160, 128)
+    style_big = _smooth(rng, 128, 144)
+    sizes, iters = [96, 128], [25, 15]
+    style_scale = 1.0
+
+    net, engine = _setup(CFG, "lbfgs", 1.0)
+    oracle = RefOracle(net, CFG)
+
+    ref = None
+    ours = None
+    for size, n in zip(sizes, iters):
+        scale = size / max(content_big.shape[2:])
+        content = F.interpolate(content_big, scale_factor=scale, mode="bilinear", align_corners=False)
+        area = content.shape[2] * content.shape[3]
+        sscale = np.sqrt(area / (style_big.shape[2] * style_big.shape[3])) * style_scale
+        style = F.interpolate(style_big, scale_factor=sscale, mode="bilinear", align_corners=False)
+        if ref is None:
+            ref = F.interpolate(content_big, tuple(content.shape[2:]), mode="bilinear", align_corners=False)
+        else:
+            ref = F.interpolate(ref, tuple(content.shape[2:]), mode="bilinear", align_corners=False)
+        ref = oracle.optimize(content, [style], [1.0], ref, n, "lbfgs")
+
+        # our side: same schedule through the engine + our resize op
+        if ours is None:
+            ours = resize_bilinear(jnp.asarray(_to_nhwc(content_big)), size=tuple(content.shape[2:]))
+        else:
+            ours = resize_bilinear(jnp.asarray(ours), size=tuple(content.shape[2:]))
+        ours = engine.optimize(
+            _to_nhwc(content), [_to_nhwc(style)], np.asarray(ours), n, blend_weights=[1.0]
+        )
+
+    s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(ours[0]))
+    assert s >= 0.98, f"multiscale SSIM {s:.4f} < 0.98"
+
+
+def test_fidelity_vid_img_frame():
+    """One vid_img frame step: temporal target = flow-warped previous frame
+    with reliability weights (style.py:273-288 semantics)."""
+    cfg = LossConfig(temporal_weight=50.0)
+    rng = np.random.default_rng(2)
+    content = _smooth(rng, 96, 96)
+    style = _smooth(rng, 96, 96)
+    warped = _smooth(rng, 96, 96, amp=90.0)
+    weights = torch.tensor(
+        np.clip(rng.random((1, 1, 96, 96)), 0.2, 1.0), dtype=torch.float32
+    )
+    init = content.clone()
+    iters = 25
+
+    net, engine = _setup(cfg, "lbfgs", 1.0)
+    oracle = RefOracle(net, cfg)
+    ref = oracle.optimize(
+        content, [style], [1.0], init, iters, "lbfgs",
+        temporal_target=warped, temporal_weights=weights,
+    )
+    out = engine.optimize(
+        _to_nhwc(content), [_to_nhwc(style)], _to_nhwc(init), iters,
+        transfer_type="vid_img", blend_weights=[1.0],
+        temporal_target=_to_nhwc(warped), temporal_weights=weights.numpy().transpose(0, 2, 3, 1),
+    )
+
+    s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(out[0]))
+    assert s >= 0.98, f"vid_img frame SSIM {s:.4f} < 0.98"
