@@ -16,44 +16,85 @@ torch is covered by tests/test_lbfgs.py).  Tolerance-based early stopping
 (tolerance_grad/tolerance_change) is intentionally not replicated: the
 reference runs with both set to -1 (never triggers) by default.
 
-Performance: at N = 3.1M / m = 100 the (m, N) histories dominate HBM traffic,
-so the update is organised to stream each exactly TWICE per iteration:
+TPU layout: every per-iteration vector quantity (g, y, s, prev_grad,
+prev_d, the parameter update) keeps the PARAMETER'S NATIVE SHAPE.  Flattening
+the whole optimiser via ravel_pytree handed XLA 1-D / (1, N) operands that
+it laid out as T(1,128)/T(1024) tiles in scoped memory (1/8 vector-lane
+utilisation plus relayout copies on every elementwise op, confirmed by HLO
+dump).  Only the history buffers are (m, N_leaf) 2-D — rank-5 histories with
+dynamic row updates abort with INVALID_ARGUMENT on this TPU backend — so
+each iteration pays exactly three cheap reshapes (s, y, g at the history
+boundary) instead of dragging every vector op into the degenerate layout.
 
-- one fused projection pass  [s; y; g] @ histᵀ  per history supplies the
-  incremental m×m gram updates AND the Sᵀg / Yᵀg projections
-- one recombination matvec  coeff @ hist  (1, N)  per history
-
-The m×m compact-representation algebra (Byrd–Nocedal–Schnabel:
-H g = γ g + S w − γ Y u, two triangular solves) runs on the tiny side.
-The classic sequential two-loop recursion (2m dependent vector ops) is kept
-as method="two_loop" — it needs no m×m gram state and no history transposes,
-so it wins when HBM capacity is the binding constraint (see PERF.md).
+There is also no lax.cond anywhere: conditional branches around the (m, N)
+history writes broke XLA's in-place buffer analysis inside the larger scan
+program (measured ~26 ms/iter of 1.26 GB copies at 1024²/m=100).  The torch
+guard "insert only when y·s > 1e-10" is expressed as masked writes; on the
+first step prev_d = 0 gives ys = 0, which also covers torch's no-history
+first iteration.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
-import jax.flatten_util
 import jax.numpy as jnp
 import optax
 
 
 class LBFGSState(NamedTuple):
-    s_hist: jax.Array  # (m, N)
-    y_hist: jax.Array  # (m, N)
+    s_hist: Any  # pytree of (m, leaf.size)
+    y_hist: Any  # pytree of (m, leaf.size)
     rho: jax.Array  # (m,)  (two_loop method)
     w_sy: jax.Array  # (m, m) S^T Y gram, absolute slots (compact method)
     w_yy: jax.Array  # (m, m) Y^T Y gram, absolute slots (compact method)
     proj: jax.Array  # (2, m) — (Sᵀg, Yᵀg) for the current g (compact method)
     count: jax.Array  # () int32 — number of valid history entries
     ptr: jax.Array  # () int32 — next write slot (circular)
-    prev_grad: jax.Array  # (N,)
-    prev_d: jax.Array  # (N,)
+    prev_grad: Any  # pytree of leaf.shape
+    prev_d: Any  # pytree of leaf.shape
     prev_t: jax.Array  # () f32
     h_diag: jax.Array  # () f32
     step: jax.Array  # () int32
+
+
+def _tmap(f, *trees):
+    return jax.tree_util.tree_map(f, *trees)
+
+
+def _tsum(tree) -> jax.Array:
+    return sum(jax.tree_util.tree_leaves(tree))
+
+
+def _tree_vdot(a, b) -> jax.Array:
+    """Global <a, b> over matching pytrees, f32 accumulation, native layout."""
+    return _tsum(_tmap(lambda x, y: jnp.sum(x * y, dtype=jnp.float32), a, b))
+
+
+
+def _hist_project(vecs, hist) -> jax.Array:
+    """<v_k, hist_row_m> for a pytree of stacked vectors (K, *shape) against
+    a pytree history (m, *shape) -> (K, m).
+
+    Leaves flatten to 2-D only at the dot boundary (the TPU backend rejects
+    the >3-contracting-dim dot_generals at runtime; a reshape on the operand
+    costs one cheap relayout, unlike keeping the whole optimiser flat)."""
+
+    def one(v, h):
+        return jax.lax.dot_general(v.reshape(v.shape[0], -1), h, (((1,), (1,)), ((), ())))
+
+    return _tsum(_tmap(one, vecs, hist))
+
+
+def _hist_recombine(coeff: jax.Array, hist, like):
+    """sum_m coeff[m] * hist[m] -> pytree shaped like ``like`` (one pass)."""
+
+    def one(h, like):
+        out = jax.lax.dot_general(coeff[None], h, (((1,), (0,)), ((), ())))[0]
+        return out.reshape(like.shape)
+
+    return _tmap(one, hist, like)
 
 
 def lbfgs(
@@ -66,59 +107,63 @@ def lbfgs(
         raise ValueError(method)
 
     def init(params):
-        flat, _ = jax.flatten_util.ravel_pytree(params)
-        n = flat.shape[0]
         z = jnp.zeros
+        # prev_grad and prev_d must be DISTINCT buffers: sharing one zeros
+        # tree makes the same device buffer appear twice in the jitted step's
+        # donated arguments ("Attempt to donate the same buffer twice")
         return LBFGSState(
-            s_hist=z((m, n), flat.dtype),
-            y_hist=z((m, n), flat.dtype),
-            rho=z((m,), flat.dtype),
-            w_sy=z((m, m), flat.dtype),
-            w_yy=z((m, m), flat.dtype),
-            proj=z((2, m), flat.dtype),
+            s_hist=_tmap(lambda p: z((m, p.size), p.dtype), params),
+            y_hist=_tmap(lambda p: z((m, p.size), p.dtype), params),
+            rho=z((m,), jnp.float32),
+            w_sy=z((m, m), jnp.float32),
+            w_yy=z((m, m), jnp.float32),
+            proj=z((2, m), jnp.float32),
             count=jnp.zeros((), jnp.int32),
             ptr=jnp.zeros((), jnp.int32),
-            prev_grad=z((n,), flat.dtype),
-            prev_d=z((n,), flat.dtype),
-            prev_t=jnp.zeros((), flat.dtype),
-            h_diag=jnp.ones((), flat.dtype),
+            prev_grad=_tmap(lambda p: z(p.shape, p.dtype), params),
+            prev_d=_tmap(lambda p: z(p.shape, p.dtype), params),
+            prev_t=jnp.zeros((), jnp.float32),
+            h_diag=jnp.ones((), jnp.float32),
             step=jnp.zeros((), jnp.int32),
         )
 
-    HI = jax.lax.Precision.HIGHEST
+    def update(g, state: LBFGSState, params=None):
+        y = _tmap(lambda gg, pg: gg - pg, g, state.prev_grad)
+        s = _tmap(lambda d: d * state.prev_t, state.prev_d)
 
-    def update(grads, state: LBFGSState, params=None):
-        g, unravel = jax.flatten_util.ravel_pytree(grads)
-
-        # No lax.cond anywhere: conditional branches around the (m, N)
-        # history writes break XLA's in-place buffer analysis inside the
-        # larger scan program (measured ~26 ms/iter of 1.26 GB copies at
-        # 1024²/m=100).  The torch guard "insert only when y·s > 1e-10" is
-        # expressed as masked writes instead; on the first step prev_d = 0
-        # gives ys = 0, which also covers torch's no-history first iteration.
-        y = g - state.prev_grad
-        s = state.prev_d * state.prev_t
-
-        # ---- the single streaming pass over the history ----
-        # P[k, c, :] = <A_k, hist_c> for A = [s, y, g]; plus the 3x3 gram
-        # of A itself for the new pair's own products (ys, yy, s·g, y·g).
-        a = jnp.stack([s, y, g])  # (3, N)
-        dims = (((1,), (1,)), ((), ()))
-        p_s = jax.lax.dot_general(a, state.s_hist, dims, precision=HI)  # (3, m)
-        p_y = jax.lax.dot_general(a, state.y_hist, dims, precision=HI)  # (3, m)
-        gram3 = jax.lax.dot_general(a, a, dims, precision=HI)
+        # ---- one streaming pass per history buffer ----
+        # stack [s, y, g] leaf-wise -> (3, *shape); project against both
+        # histories and against itself (ys, yy, s·g, y·g all from one pass)
+        a = _tmap(lambda sl, yl, gl: jnp.stack([sl, yl, gl]), s, y, g)
+        p_s = _hist_project(a, state.s_hist)  # (3, m)
+        p_y = _hist_project(a, state.y_hist)  # (3, m)
+        gram3 = _tsum(_tmap(
+            lambda al: jax.lax.dot_general(
+                al.reshape(al.shape[0], -1), al.reshape(al.shape[0], -1),
+                (((1,), (1,)), ((), ())),
+            ),
+            a,
+        ))
         ys, yy = gram3[0, 1], gram3[1, 1]
         sg, yg = gram3[0, 2], gram3[1, 2]
 
         ok = ys > 1e-10
         k = state.ptr
-        okf = ok.astype(g.dtype)
+        okf = ok.astype(jnp.float32)
         # masked row write: keep the old row when not inserting (row-sized
-        # blend, so the (m, N) buffers update in place)
-        old_s = jax.lax.dynamic_slice_in_dim(state.s_hist, k, 1, 0)[0]
-        old_y = jax.lax.dynamic_slice_in_dim(state.y_hist, k, 1, 0)[0]
-        s_hist = state.s_hist.at[k].set(okf * s + (1 - okf) * old_s)
-        y_hist = state.y_hist.at[k].set(okf * y + (1 - okf) * old_y)
+        # blend, so the (m, *shape) buffers update in place)
+        def put_row(hist, row):
+            def one(h, r):
+                r2 = r.reshape(-1)
+                old = jax.lax.dynamic_index_in_dim(h, k, 0, keepdims=False)
+                return jax.lax.dynamic_update_index_in_dim(
+                    h, (okf * r2 + (1 - okf) * old).astype(h.dtype), k, 0
+                )
+
+            return _tmap(one, hist, row)
+
+        s_hist = put_row(state.s_hist, s)
+        y_hist = put_row(state.y_hist, y)
 
         # patch slot k of the projections: the stale row was replaced
         sy_row = p_y[0].at[k].set(ys)  # s · Y
@@ -142,60 +187,69 @@ def lbfgs(
         )
 
         if method == "compact":
-            d = -_compact_hg(state, g, m)
+            d = _tmap(lambda hg: -hg, _compact_hg(state, g, m))
         else:
-            d = -_two_loop_hg(state, g, m)
+            d = _tmap(lambda hg: -hg, _two_loop_hg(state, g, m))
 
+        g_l1 = _tsum(_tmap(lambda gg: jnp.sum(jnp.abs(gg), dtype=jnp.float32), g))
         t = jnp.where(
             state.step == 0,
-            jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g))) * lr,
-            jnp.asarray(lr, g.dtype),
+            jnp.minimum(1.0, 1.0 / g_l1) * lr,
+            jnp.asarray(lr, jnp.float32),
         )
 
         state = state._replace(prev_grad=g, prev_d=d, prev_t=t, step=state.step + 1)
-        return unravel(t * d), state
+        return _tmap(lambda dd: t * dd, d), state
 
     return optax.GradientTransformation(init, update)
 
 
-def _two_loop_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
+def _two_loop_hg(state: LBFGSState, g, m: int):
     """Classic sequential two-loop recursion; returns H g (so d = -Hg... note
     we fold the sign by starting from -g and returning its negation)."""
+
+    def row(hist, slot, like):
+        return _tmap(
+            lambda h, l: jax.lax.dynamic_index_in_dim(h, slot, 0, keepdims=False).reshape(l.shape),
+            hist, like,
+        )
 
     def loop1(j, carry):
         q, al = carry
         slot = (state.ptr - 1 - j) % m  # newest -> oldest
         valid = j < state.count
-        s_j = state.s_hist[slot]
-        y_j = state.y_hist[slot]
-        a_j = state.rho[slot] * jnp.dot(s_j, q)
-        q = jnp.where(valid, q - a_j * y_j, q)
+        s_j = row(state.s_hist, slot, q)
+        y_j = row(state.y_hist, slot, q)
+        a_j = state.rho[slot] * _tree_vdot(s_j, q)
+        q = _tmap(lambda qq, yj: jnp.where(valid, qq - a_j * yj, qq), q, y_j)
         al = al.at[slot].set(jnp.where(valid, a_j, 0.0))
         return q, al
 
-    q, al = jax.lax.fori_loop(0, m, loop1, (-g, jnp.zeros((m,), g.dtype)), unroll=min(m, 8))
-    d = q * state.h_diag
+    neg_g = _tmap(lambda gg: -gg, g)
+    q, al = jax.lax.fori_loop(0, m, loop1, (neg_g, jnp.zeros((m,), jnp.float32)), unroll=min(m, 8))
+    d = _tmap(lambda qq: qq * state.h_diag, q)
 
     def loop2(j, d):
         slot = (state.ptr - state.count + j) % m  # oldest -> newest
         valid = j < state.count
-        s_j = state.s_hist[slot]
-        y_j = state.y_hist[slot]
-        be = state.rho[slot] * jnp.dot(y_j, d)
-        return jnp.where(valid, d + s_j * (al[slot] - be), d)
+        s_j = row(state.s_hist, slot, d)
+        y_j = row(state.y_hist, slot, d)
+        be = state.rho[slot] * _tree_vdot(y_j, d)
+        return _tmap(lambda dd, sj: jnp.where(valid, dd + sj * (al[slot] - be), dd), d, s_j)
 
     d = jax.lax.fori_loop(0, m, loop2, d, unroll=min(m, 8))
-    return -d  # loops computed -H g
+    return _tmap(lambda dd: -dd, d)  # loops computed -H g
 
 
-def _compact_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
-    """H g via the compact representation (algebraically == two-loop).
+def _compact_hg(state: LBFGSState, g, m: int):
+    """H g via the compact representation (algebraically == two-loop:
+    H g = γ g + S w − γ Y u with u = R⁻¹ Sᵀg and
+    w = R⁻ᵀ((D + γYᵀY)u − γYᵀg), where R = triu(SᵀY), D = diag(SᵀY)).
 
-    All inputs that touch the (2m, N) history were precomputed in the update's
-    single projection pass (``state.proj``); this function only does m×m-sized
-    algebra plus ONE recombination matvec over the history.
+    Everything that touches the (m, *shape) histories was precomputed in the
+    update's single projection pass (``state.proj``); this function does
+    m×m-sized algebra plus ONE recombination matvec per history buffer.
     """
-    HI = jax.lax.Precision.HIGHEST
     gamma = state.h_diag
     # chronological ordering of circular slots, oldest first; the first
     # m - count entries are stale and masked out
@@ -225,12 +279,11 @@ def _compact_hg(state: LBFGSState, g: jax.Array, m: int) -> jax.Array:
 
     # scatter chronological coefficients back to absolute slots; one matvec
     # per history buffer: hg = γg + w_abs @ S − γ u_abs @ Y
-    coeff_s = jnp.zeros((m,), g.dtype).at[ord_].set(w)
-    coeff_y = jnp.zeros((m,), g.dtype).at[ord_].set(-gamma * u)
-    dims = (((1,), (0,)), ((), ()))
-    recomb_s = jax.lax.dot_general(coeff_s[None], state.s_hist, dims, precision=HI)[0]
-    recomb_y = jax.lax.dot_general(coeff_y[None], state.y_hist, dims, precision=HI)[0]
-    return gamma * g + recomb_s + recomb_y
+    coeff_s = jnp.zeros((m,), jnp.float32).at[ord_].set(w)
+    coeff_y = jnp.zeros((m,), jnp.float32).at[ord_].set(-gamma * u)
+    rs = _hist_recombine(coeff_s, state.s_hist, g)
+    ry = _hist_recombine(coeff_y, state.y_hist, g)
+    return _tmap(lambda gg, a, b: gamma * gg + a + b, g, rs, ry)
 
 
 __all__ = ["lbfgs", "LBFGSState"]

@@ -54,3 +54,54 @@ def test_clip_video_style_end_to_end(tmp_path, monkeypatch):
     assert len(glob.glob(f"{out_dir}/16/2_*.png")) == 3
     img = np.asarray(Image.open(glob.glob(f"{out_dir}/16/2_*.png")[0]))
     assert img.ndim == 3 and np.isfinite(img).all()
+
+
+def test_clip_video_update_styles_per_scale_and_mask_quirk(tmp_path, monkeypatch):
+    """Per-scale style re-encoding (reference clip_video_style.py:57-58) and
+    the mask-computed-but-unused quirk (clip_video_style.py:164->173): the
+    engine must get update_styles once per scale with that scale's style
+    sizes, and optimize_cached must receive mask=None."""
+    import maua_style_tpu.pipelines.clip_video_style as cvs
+
+    calls = {"update_styles": [], "optimize": []}
+
+    class FakeEngine:
+        target_embeds = None
+
+        def update_styles(self, styles, content_text, style_text):
+            calls["update_styles"].append([s.shape for s in styles])
+            return "embeds"
+
+        def optimize_cached(self, **kw):
+            calls["optimize"].append(kw)
+            return np.clip(kw["init"], 0.0, 1.0)
+
+    monkeypatch.setattr(cvs, "get_engine", lambda d, b: FakeEngine())
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 24, 24, 3), dtype=np.uint8)
+    np.save(str(tmp_path / "vid.npy"), frames)
+    Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(str(tmp_path / "style.png"))
+
+    args = config.get_args([
+        "--content", str(tmp_path / "vid.npy"),
+        "--style", str(tmp_path / "style.png"),
+        "--output_dir", str(tmp_path / "out"),
+        "--image_sizes", "12,16",
+        "--num_iters", "2,2",
+        "--passes_per_scale", "1",
+        "--flow_models", "spynet",
+        "--init", "content",
+        "--gpu", "c",
+        "--scaling_args", str(tmp_path / "missing.json"),
+        "--seed", "0",
+    ])
+    cvs.clip_video_style(args)
+
+    # one update_styles per scale, styles rescaled per scale (area-matched)
+    assert len(calls["update_styles"]) == 2
+    assert calls["update_styles"][0] != calls["update_styles"][1]
+    # every frame optimisation got the reference's mask=None quirk
+    assert len(calls["optimize"]) == 4  # 2 scales x 1 pass x 2 frames
+    assert all(kw["mask"] is None for kw in calls["optimize"])
+    assert all(kw["styles"] is None for kw in calls["optimize"])
