@@ -158,6 +158,10 @@ def _block_params(key, width: int) -> dict:
     }
 
 
+from ...utils import on_host
+
+
+@on_host
 def init_clip_params(cfg: CLIPConfig, seed: int = 0) -> dict:
     key = jax.random.PRNGKey(seed)
     k = iter(jax.random.split(key, 8 + cfg.vision_layers + cfg.text_layers))

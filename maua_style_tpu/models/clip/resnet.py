@@ -103,6 +103,10 @@ def encode_image_resnet(params: dict, x: jax.Array, cfg: ResNetConfig) -> jax.Ar
     return attention_pool(v["attnpool"], x, cfg.heads)
 
 
+from ...utils import on_host
+
+
+@on_host
 def init_resnet_visual(cfg: ResNetConfig, seed: int = 0) -> dict:
     key = [jax.random.PRNGKey(seed)]
 

@@ -57,6 +57,10 @@ def truncate_spec(spec: ExtractorSpec, wanted: Iterable[str]) -> ExtractorSpec:
     return ExtractorSpec(spec.arch, spec.layers[: last + 1], spec.in_ch)
 
 
+from ..utils import on_host
+
+
+@on_host
 def init_params(spec: ExtractorSpec, seed: int = 0, dtype=jnp.float32) -> dict:
     """Deterministic He-normal initialisation (fallback when no pretrained
     checkpoint is available; see models/convert.py for .pth conversion)."""

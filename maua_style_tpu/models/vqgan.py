@@ -189,6 +189,10 @@ def _conv_init(key, kh, kw, cin, cout):
     }
 
 
+from ..utils import on_host
+
+
+@on_host
 def init_vqgan_params(cfg: VQGANConfig, seed: int = 0) -> dict:
     key = [jax.random.PRNGKey(seed)]
 

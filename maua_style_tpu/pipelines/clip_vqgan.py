@@ -181,7 +181,11 @@ class ClipVQGANEngine:
             )
             return sum(terms), jnp.stack(terms)
 
-        def run(vq_params, clip_params, z, opt_state, keys, mask, content_embed, from_embed, to_embed, style_embeds):
+        # z_min/z_max are ARGUMENTS, not closure constants: traced constants
+        # are baked into the HLO, so any change in codebook values would
+        # change the persistent-cache key and force a fresh multi-minute
+        # compile of the scan program (observed: every re-init recompiled)
+        def run(vq_params, clip_params, z, opt_state, keys, mask, content_embed, from_embed, to_embed, style_embeds, z_min, z_max):
             def step(carry, rng):
                 z, st = carry
                 (_, terms), grad = jax.value_and_grad(losses_of, argnums=2, has_aux=True)(
@@ -189,7 +193,7 @@ class ClipVQGANEngine:
                 )
                 updates, st = opt.update(grad, st, z)
                 z = optax.apply_updates(z, updates)
-                z = jnp.clip(z, self.z_min, self.z_max)
+                z = jnp.clip(z, z_min, z_max)
                 return (z, st), terms
 
             (z, opt_state), log = jax.lax.scan(step, (z, opt_state), keys)
@@ -256,6 +260,7 @@ class ClipVQGANEngine:
                 self.vq_params, self.clip.params, z, opt_state, keys, mask_arr,
                 content_embed, from_embed if from_embed is not None else jnp.zeros((1, 1)),
                 to_embed if to_embed is not None else jnp.zeros((1, 1)), style_embeds,
+                self.z_min, self.z_max,
             )
             losses_log.append(np.asarray(log))
             done += n
@@ -362,7 +367,13 @@ def main(argv=None):
             mask = 1 - mask
 
     os.makedirs(args.out_dir, exist_ok=True)
-    engine = ClipVQGANEngine(args.vqgan_dir, args.clip_backbone)
+    # reference seeds torch globally (clip_vqgan.py:604-685 __main__); here the
+    # engine key drives cutout sampling, so --seed must reach it (-1 = random)
+    engine = ClipVQGANEngine(
+        args.vqgan_dir,
+        args.clip_backbone,
+        seed=args.seed if args.seed >= 0 else int(np.random.randint(2**31)),
+    )
 
     def save(img, i):
         Image.fromarray((np.clip(img[0], 0, 1) * 255).astype(np.uint8)).save(args.out_dir + "/" + out_name)

@@ -10,6 +10,38 @@ def name(s: str) -> str:
     return str(s).split("/")[-1].split(".")[0]
 
 
+def on_host(fn):
+    """Run ``fn``'s eager jax ops on the host CPU backend.
+
+    Parameter-init fallbacks issue dozens of tiny eager programs
+    (jax.random.normal per layer).  On a tunneled TPU each one is a separate
+    compile+execute round trip (~1-3 s each, ~80 programs for VQGAN+CLIP —
+    minutes of startup).  Threefry is platform-deterministic, so running them
+    under ``jax.default_device(cpu)`` produces the same values in ~1 s total;
+    the arrays transfer to the accelerator once, at first jitted use.
+    """
+    import functools
+
+    def wrapped(*args, **kwargs):
+        import jax
+
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:  # no CPU backend registered — run as-is
+            return fn(*args, **kwargs)
+        with jax.default_device(cpu):
+            out = fn(*args, **kwargs)
+        default = jax.devices()[0]
+        if default == cpu:
+            return out
+        # the host arrays are committed to CpuDevice; left alone they would
+        # drag every jitted consumer onto the CPU backend — move them to the
+        # real default device in one batched transfer
+        return jax.device_put(out, default)
+
+    return functools.wraps(fn)(wrapped)
+
+
 def info(x, label: str | None = None) -> None:
     """Print tensor stats for debugging (reference: utils.py:10-50)."""
     x = np.asarray(x)
