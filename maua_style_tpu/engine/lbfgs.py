@@ -82,7 +82,10 @@ def _hist_project(vecs, hist) -> jax.Array:
     costs one cheap relayout, unlike keeping the whole optimiser flat)."""
 
     def one(v, h):
-        return jax.lax.dot_general(v.reshape(v.shape[0], -1), h, (((1,), (1,)), ((), ())))
+        v2 = v.reshape(v.shape[0], -1).astype(h.dtype)
+        return jax.lax.dot_general(
+            v2, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
     return _tsum(_tmap(one, vecs, hist))
 
@@ -91,16 +94,30 @@ def _hist_recombine(coeff: jax.Array, hist, like):
     """sum_m coeff[m] * hist[m] -> pytree shaped like ``like`` (one pass)."""
 
     def one(h, like):
-        out = jax.lax.dot_general(coeff[None], h, (((1,), (0,)), ((), ())))[0]
-        return out.reshape(like.shape)
+        out = jax.lax.dot_general(
+            coeff[None].astype(h.dtype), h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[0]
+        return out.reshape(like.shape).astype(like.dtype)
 
     return _tmap(one, hist, like)
 
 
 def lbfgs(
-    learning_rate: float = 1.0, history_size: int = 100, method: str = "compact"
+    learning_rate: float = 1.0,
+    history_size: int = 100,
+    method: str = "compact",
+    history_dtype=None,
 ) -> optax.GradientTransformation:
-    """torch-semantics L-BFGS (see module docstring for the two methods)."""
+    """torch-semantics L-BFGS (see module docstring for the two methods).
+
+    ``history_dtype``: storage dtype for the (m, N) s/y histories (default:
+    the parameter dtype).  bf16 halves both the dominant per-iteration HBM
+    traffic (the projection + recombination passes stream every live row)
+    and the history footprint (~2.5 GB -> 1.25 GB at 1024²/m=100); all dot
+    products accumulate in f32 (``preferred_element_type``), and the m×m
+    curvature algebra stays f32 throughout.
+    """
     m = int(history_size)
     lr = float(learning_rate)
     if method not in ("compact", "two_loop"):
@@ -111,9 +128,10 @@ def lbfgs(
         # prev_grad and prev_d must be DISTINCT buffers: sharing one zeros
         # tree makes the same device buffer appear twice in the jitted step's
         # donated arguments ("Attempt to donate the same buffer twice")
+        hdt = history_dtype
         return LBFGSState(
-            s_hist=_tmap(lambda p: z((m, p.size), p.dtype), params),
-            y_hist=_tmap(lambda p: z((m, p.size), p.dtype), params),
+            s_hist=_tmap(lambda p: z((m, p.size), hdt or p.dtype), params),
+            y_hist=_tmap(lambda p: z((m, p.size), hdt or p.dtype), params),
             rho=z((m,), jnp.float32),
             w_sy=z((m, m), jnp.float32),
             w_yy=z((m, m), jnp.float32),

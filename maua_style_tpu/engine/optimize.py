@@ -144,7 +144,15 @@ class StyleEngine:
 
     def _make_optimizer(self):
         if self.optimizer_name == "lbfgs":
-            return lbfgs(self.learning_rate, self.lbfgs_history, method=self.lbfgs_method)
+            # serving config (bf16 activations) also stores the L-BFGS
+            # histories in bf16 — halves the dominant optimizer HBM traffic
+            # and footprint; all curvature algebra accumulates in f32.
+            # Parity/fidelity runs (compute_dtype=f32) keep f32 histories.
+            hdt = jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 else None
+            return lbfgs(
+                self.learning_rate, self.lbfgs_history,
+                method=self.lbfgs_method, history_dtype=hdt,
+            )
         if self.optimizer_name == "adam":
             return optax.adam(self.learning_rate)
         raise ValueError(f"unknown optimizer {self.optimizer_name}")

@@ -109,3 +109,34 @@ def test_adam_matches_torch():
         upd, st = oj.update(g, st, pj)
         pj = optax.apply_updates(pj, upd)
     np.testing.assert_allclose(np.asarray(pj), want, atol=1e-4, rtol=1e-4)
+
+
+def test_lbfgs_bf16_history_converges():
+    """bf16 history storage (the serving config) must reach the same optimum
+    as f32 histories on a well-conditioned quadratic — the curvature algebra
+    accumulates in f32, only the stored s/y pairs are rounded."""
+    np.random.seed(4)
+    n = 64
+    x0 = np.random.rand(n).astype(np.float32)
+    A = np.random.rand(n, n).astype(np.float32)
+    H = A @ A.T + np.eye(n, dtype=np.float32) * n  # conditioning ~O(1)
+    loss = lambda q: 0.5 * q @ jnp.asarray(H) @ q
+
+    def run(history_dtype):
+        opt = lbfgs(1.0, 10, history_dtype=history_dtype)
+        p = jnp.asarray(x0.copy())
+        st = opt.init(p)
+
+        def step(carry, _):
+            p, s = carry
+            g = jax.grad(loss)(p)
+            upd, s = opt.update(g, s, p)
+            return (optax.apply_updates(p, upd), s), None
+
+        (p, _), _ = jax.lax.scan(step, (p, st), length=30)
+        return np.asarray(p)
+
+    got16, got32 = run(jnp.bfloat16), run(None)
+    # both must essentially solve the problem (optimum is 0)
+    assert float(np.abs(got32).max()) < 1e-4
+    assert float(np.abs(got16).max()) < 1e-2
