@@ -73,6 +73,12 @@ class StyleEngine:
         self.verbose = verbose
         self.last_loss_log: np.ndarray | None = None
         self._runners: dict[Any, Callable] = {}
+        # per-frame pipelines call optimize() once per frame with the SAME
+        # style images (reference re-captures every call, optim.py:50-67;
+        # here capture is cached per engine — one capture per scale)
+        self._style_target_cache: dict[Any, dict] = {}
+        self._opt = None
+        self._jit_opt_init = None
 
         def extract(prm, x, layers):
             # pack_stem: block 1 runs space-to-depth-packed (exact same math,
@@ -99,11 +105,22 @@ class StyleEngine:
         return self._jit_content(self.params, jnp.asarray(content))
 
     def style_targets(self, styles: Sequence, blend_weights: Sequence[float]) -> dict:
+        # content-addressed cache: per-frame video loops pass the same style
+        # images every call; re-capturing them is pure per-frame overhead
+        key = tuple(
+            (np.shape(s), float(bw), hash(np.asarray(s).tobytes()))
+            for s, bw in zip(styles, blend_weights)
+        )
+        hit = self._style_target_cache.get(key)
+        if hit is not None:
+            return hit
         targets: dict[str, jax.Array] = {}
         for style, bw in zip(styles, blend_weights):
             grams = self._jit_style(self.params, jnp.asarray(style), bw)
             for l, g in grams.items():
                 targets[l] = targets.get(l, 0) + g
+        self._style_target_cache.clear()  # one entry: engines live per scale
+        self._style_target_cache[key] = targets
         return targets
 
     def style_video_targets(
@@ -130,19 +147,41 @@ class StyleEngine:
     def _strength_scale(self, targets: dict) -> tuple[tuple[str, float], ...]:
         if not self.normalize_weights:
             return ()
+        content = targets.get("content", {})
+        if not content and "content_img" in targets:
+            # content targets are captured inside the jitted runner; probe
+            # their shapes without any device execution
+            content = jax.eval_shape(
+                lambda c: capture_content_targets(
+                    partial(self._extract, self.params), c, self.loss_cfg
+                ),
+                jax.ShapeDtypeStruct(np.shape(targets["content_img"]), jnp.float32),
+            )
         scale = []
-        for l, t in targets.get("content", {}).items():
+        for l, t in content.items():
             scale.append((f"content:{l}", 1.0 / max(t.shape)))
         for l, t in targets.get("style", {}).items():
             scale.append((f"style:{l}", 1.0 / max(t.shape)))
         temporal = targets.get("temporal")
         if temporal is not None:
             scale.append(("temporal", 1.0 / max(temporal["target"].shape)))
+        elif "temporal_warp" in targets:
+            scale.append(("temporal", 1.0 / max(targets["temporal_warp"]["src"].shape)))
         return tuple(scale)
 
     # -- the jitted optimisation loop ---------------------------------------
 
     def _make_optimizer(self):
+        # one optimizer instance + one JITTED init per engine: eager
+        # optax/lbfgs init issues one tiny device program per state leaf
+        # (~13 for lbfgs) — pure round-trip overhead per frame on a
+        # tunneled device, one fused program under jit
+        if self._opt is None:
+            self._opt = self._make_optimizer_uncached()
+            self._jit_opt_init = jax.jit(self._opt.init)
+        return self._opt
+
+    def _make_optimizer_uncached(self):
         if self.optimizer_name == "lbfgs":
             # serving config (bf16 activations) also stores the L-BFGS
             # histories in bf16 — halves the dominant optimizer HBM traffic
@@ -168,6 +207,29 @@ class StyleEngine:
         extract = self._extract
 
         def run(prm, pastiche, opt_state, targets, grad_mask):
+            # content targets are captured INSIDE this program (the raw frame
+            # travels in ``targets["content_img"]``): per-frame video loops
+            # then make ONE device call per frame instead of a separate
+            # capture program + its round trip (compute cost: one extra
+            # content forward per chunk, ~ms; round-trip saved: ~0.3-1 s on
+            # a tunneled device, and XLA overlaps the capture with the scan)
+            if "content_img" in targets:
+                targets = dict(targets)
+                cimg = targets.pop("content_img")
+                targets["content"] = capture_content_targets(
+                    partial(extract, prm), cimg, cfg
+                )
+            if "temporal_warp" in targets:
+                # flow-warp the previous frame in-graph (vid_img temporal
+                # target, reference style.py:273-284) — fusing it here saves
+                # a separate warp program + two host transfers per frame
+                from ..ops.warp import grid_sample
+
+                targets = dict(targets)
+                tw = targets.pop("temporal_warp")
+                warped = grid_sample(tw["src"], tw["map"])
+                targets["temporal"] = capture_temporal_targets(warped, tw.get("weights"))
+
             def loss_fn(p):
                 acts = extract(prm, p, cfg.all_layers)
                 total, per = evaluate_losses(p, acts, targets, cfg, scale)
@@ -206,6 +268,7 @@ class StyleEngine:
         avg_frame_window: int = -1,
         temporal_target=None,
         temporal_weights=None,
+        temporal_warp=None,
         save_iter: int = 0,
         save_callback: Callable[[np.ndarray, int], None] | None = None,
         run_checkpoint: str | None = None,
@@ -238,8 +301,17 @@ class StyleEngine:
             windows = [[0]] * max(len(styles), 1)
             gfw = init.shape[0]
 
-        targets: dict[str, Any] = {"content": self.content_targets(content)}
-        if temporal_target is not None:
+        targets: dict[str, Any] = {"content_img": content}
+        if temporal_warp is not None:
+            # (prev_frame, warp_map): the flow warp runs inside the jitted
+            # runner (see _runner) — one device call per frame instead of a
+            # separate warp program + round-tripping the warped target
+            src, wmap = temporal_warp
+            tw = {"src": jnp.asarray(src, jnp.float32), "map": jnp.asarray(wmap, jnp.float32)}
+            if temporal_weights is not None:
+                tw["weights"] = jnp.asarray(temporal_weights, jnp.float32)
+            targets["temporal_warp"] = tw
+        elif temporal_target is not None:
             targets["temporal"] = capture_temporal_targets(
                 jnp.asarray(temporal_target, jnp.float32),
                 None if temporal_weights is None else jnp.asarray(temporal_weights, jnp.float32),
@@ -299,8 +371,8 @@ class StyleEngine:
                 masked = False
 
             scale_key = self._strength_scale(targets)
-            opt = self._make_optimizer()
-            opt_state = opt.init(pastiche)
+            self._make_optimizer()
+            opt_state = self._jit_opt_init(pastiche)
             done = 0
             if resume is not None and w == resume[2]:
                 pastiche, opt_state, _, done = resume

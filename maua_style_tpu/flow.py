@@ -185,29 +185,43 @@ def get_flow_pair_model(args):
         raise ValueError("no flow models selected")
     cache: dict[tuple, object] = {}
 
-    def pair(im1: np.ndarray, im2: np.ndarray):
-        h, w = im1.shape[:2]
+    def _runner_for(h: int, w: int):
+        # one jitted program per (H, W); leading dim is the PAIR batch, so a
+        # whole video's prepass is a handful of device calls, not one per pair
+        if (h, w) in cache:
+            return cache[(h, w)]
         h64 = max(64, int(np.ceil(h / 64)) * 64)
         w64 = max(64, int(np.ceil(w / 64)) * 64)
-        if (h, w) not in cache:
 
-            def ensemble(a, b):
-                t1 = resize_bilinear(a.astype(jnp.float32)[None] / 255.0, size=(h64, w64))
-                t2 = resize_bilinear(b.astype(jnp.float32)[None] / 255.0, size=(h64, w64))
-                acc = 0.0
-                for net in nets:
-                    acc = acc + resize_bilinear(net._forward(net.params, t1, t2), size=(h, w))[0]
-                return acc * jnp.asarray([w / w64, h / h64], jnp.float32) / len(nets)
+        def ensemble(a, b):  # (B, H, W, 3) uint8-ish
+            t1 = resize_bilinear(a.astype(jnp.float32) / 255.0, size=(h64, w64))
+            t2 = resize_bilinear(b.astype(jnp.float32) / 255.0, size=(h64, w64))
+            acc = 0.0
+            for net in nets:
+                acc = acc + resize_bilinear(net._forward(net.params, t1, t2), size=(h, w))
+            return acc * jnp.asarray([w / w64, h / h64], jnp.float32) / len(nets)
 
-            def run(a, b):
-                fwd = ensemble(a, b)
-                bwd = ensemble(b, a)
-                return fwd, bwd, _reliability(fwd, bwd), _reliability(bwd, fwd)
+        def run(a, b):
+            fwd = ensemble(a, b)
+            bwd = ensemble(b, a)
+            rel = jax.vmap(_reliability)
+            return fwd, bwd, rel(fwd, bwd), rel(bwd, fwd)
 
-            cache[(h, w)] = jax.jit(run)
-        out = cache[(h, w)](jnp.asarray(im1), jnp.asarray(im2))
+        cache[(h, w)] = jax.jit(run)
+        return cache[(h, w)]
+
+    def pair(im1: np.ndarray, im2: np.ndarray):
+        run = _runner_for(*im1.shape[:2])
+        out = run(jnp.asarray(im1)[None], jnp.asarray(im2)[None])
+        return tuple(np.asarray(o)[0] for o in out)
+
+    def batched(ims1: np.ndarray, ims2: np.ndarray):
+        """(B, H, W, 3) stacks -> (fwd, bwd, fwd_rel, bwd_rel) (B, ...) maps."""
+        run = _runner_for(*ims1.shape[1:3])
+        out = run(jnp.asarray(ims1), jnp.asarray(ims2))
         return tuple(np.asarray(o) for o in out)
 
+    pair.batched = batched
     return pair
 
 

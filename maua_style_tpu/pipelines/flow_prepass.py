@@ -55,24 +55,16 @@ def process_content_video(model, args) -> list[str]:
         frames_dir + f for f in sorted(os.listdir(frames_dir)) if f.endswith(".png") and "_" not in f
     ]
     images.append(images[0])  # wrap-around pair for loopable videos
-    for img_file1, img_file2 in zip(images[:-1], images[1:]):
-        n1, n2 = name(img_file1), name(img_file2)
-        if os.path.isfile(f"{flow_dir}/backward_{n2}_{n1}.png"):
-            continue
-        im1 = np.array(Image.open(img_file1).convert("RGB"))
-        im2 = np.array(Image.open(img_file2).convert("RGB"))
+    missing = [
+        (f1, f2)
+        for f1, f2 in zip(images[:-1], images[1:])
+        if not os.path.isfile(f"{flow_dir}/backward_{name(f2)}_{name(f1)}.png")
+    ]
 
-        # Fused pair models (flow.get_flow_pair_model) return all four maps
-        # from one device program; plain estimate closures return one flow.
-        result = model(im1, im2)
-        if isinstance(result, tuple):
-            forward, backward, fwd_rel, bwd_rel = result
-        else:
-            forward, backward = result, model(im2, im1)
-            fwd_rel = bwd_rel = None
+    def write_pair(img_file1, img_file2, forward, backward, fwd_rel, bwd_rel):
+        n1, n2 = name(img_file1), name(img_file2)
         write_flo(forward, f"{flow_dir}/forward_{n1}_{n2}.flo")
         write_flo(backward, f"{flow_dir}/backward_{n2}_{n1}.flo")
-
         if getattr(args, "no_check_occlusion", False):
             fwd_img = Image.fromarray(flowmod.flow_to_image(forward)).convert("L")
             bwd_img = Image.fromarray(flowmod.flow_to_image(backward)).convert("L")
@@ -84,9 +76,40 @@ def process_content_video(model, args) -> list[str]:
             bwd_img = Image.fromarray(((1 - bwd_rel) * 255).astype(np.uint8)).convert("L")
         fwd_img.save(f"{flow_dir}/forward_{n1}_{n2}.png")
         bwd_img.save(f"{flow_dir}/backward_{n2}_{n1}.png")
-
         if getattr(args, "verbose", False):
             print(f"processed optical flow: {n1} <---> {n2}")
+
+    def load(f):
+        return np.array(Image.open(f).convert("RGB"))
+
+    batched = getattr(model, "batched", None)
+    if batched is not None and len(missing) > 1:
+        # whole-video prepass as a few PAIR-BATCHED device programs (8 pairs
+        # per call) instead of one round trip per pair — same artifacts
+        CHUNK = 8
+        for i in range(0, len(missing), CHUNK):
+            chunk = missing[i : i + CHUNK]
+            # pad short tail chunks by repeating the last pair so every call
+            # compiles to the same batch shape
+            padded = chunk + [chunk[-1]] * (CHUNK - len(chunk))
+            ims1 = np.stack([load(f1) for f1, _ in padded])
+            ims2 = np.stack([load(f2) for _, f2 in padded])
+            fwd, bwd, fr, br = batched(ims1, ims2)
+            for k, (f1, f2) in enumerate(chunk):
+                write_pair(f1, f2, fwd[k], bwd[k], fr[k], br[k])
+    else:
+        for img_file1, img_file2 in missing:
+            im1, im2 = load(img_file1), load(img_file2)
+            # Fused pair models (flow.get_flow_pair_model) return all four
+            # maps from one device program; plain estimate closures return
+            # one flow.
+            result = model(im1, im2)
+            if isinstance(result, tuple):
+                forward, backward, fwd_rel, bwd_rel = result
+            else:
+                forward, backward = result, model(im2, im1)
+                fwd_rel = bwd_rel = None
+            write_pair(img_file1, img_file2, forward, backward, fwd_rel, bwd_rel)
 
     images.pop(-1)
     return images

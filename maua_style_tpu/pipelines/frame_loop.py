@@ -123,7 +123,11 @@ def run_video_style_passes(
                     blend_image = resize_bilinear_np(mio.preprocess(bfile), size=content_frames[0].shape[1:3])
 
                     if use_temporal_targets:
-                        temporal_target = warp(pastiche, flow_warp_map(flo_file, pastiche.shape[1:3]))
+                        # (prev frame, warp map) — the engine fuses the flow
+                        # warp into the jitted optimisation program (one
+                        # device call per frame; reference warps separately,
+                        # style.py:273-276)
+                        temporal_target = (pastiche, flow_warp_map(flo_file, pastiche.shape[1:3]))
                         weight_file = (
                             f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.png"
                         )

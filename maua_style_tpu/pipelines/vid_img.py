@@ -32,6 +32,8 @@ def vid_img(args) -> None:
 
     def optimize_frame(ctx, content_frame, pastiche, temporal_target, temporal_weights, num_iters):
         engine, style_images = ctx
+        # temporal_target arrives as (prev_frame, warp_map); the engine warps
+        # in-graph (frame_loop builds the pair, engine/optimize fuses it)
         return engine.optimize(
             content_frame,
             style_images,
@@ -39,7 +41,7 @@ def vid_img(args) -> None:
             num_iters,
             transfer_type="vid_img",
             blend_weights=args.style_blend_weights,
-            temporal_target=temporal_target,
+            temporal_warp=temporal_target,
             temporal_weights=temporal_weights,
         )
 

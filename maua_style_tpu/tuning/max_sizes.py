@@ -140,7 +140,9 @@ def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1
 
     shape = (1, size, size, 3)
     targets = {
-        "content": engine.content_targets(jnp.zeros(shape)),
+        # the real runner captures content targets in-graph (content_img);
+        # the probe must match so the measured footprint includes it
+        "content_img": jnp.zeros(shape),
         "style": engine.style_targets([jnp.zeros(shape)], [1.0]),
     }
     opt = engine._make_optimizer()
