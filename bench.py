@@ -119,7 +119,12 @@ def main():
     rng = np.random.default_rng(0)
     content = rng.random((1, size, size, 3), np.float32) * 255 - 128
     style = rng.random((1, size, size, 3), np.float32) * 255 - 128
-    init = rng.standard_normal((1, size, size, 3)).astype(np.float32) * 0.001
+
+    def fresh_init() -> np.ndarray:
+        # EVERY timed call gets a distinct init: the device tunnel memoizes
+        # repeated executions with identical input buffers, which inflates
+        # the rate ~2x (observed 64 vs a real 34 MP-it/s)
+        return rng.standard_normal((1, size, size, 3)).astype(np.float32) * 0.001
 
     def measure(optimizer: str) -> float:
         engine = StyleEngine(
@@ -134,23 +139,24 @@ def main():
         # warmup-compile both scan lengths, then measure the marginal
         # per-iteration rate as a slope: (t(2n) - t(n)) / n.  This cancels
         # the fixed per-call costs (target capture, host<->device transfer
-        # over the chip tunnel) that don't scale with iterations.  Take the
-        # best of three slopes: host contention on this box only ever slows
-        # a run down (one-sided noise), so max is the honest steady-state.
-        engine.optimize(content, [style], init, iters_timed, blend_weights=[1.0])
-        engine.optimize(content, [style], init, 2 * iters_timed, blend_weights=[1.0])
+        # over the chip tunnel) that don't scale with iterations.  Use the
+        # MEDIAN of the slopes: noise is one-sided (contention only slows a
+        # call), but a slow t_n SHRINKS the difference and inflates the
+        # rate, so min/max-picking selects contaminated trials either way.
+        engine.optimize(content, [style], fresh_init(), iters_timed, blend_weights=[1.0])
+        engine.optimize(content, [style], fresh_init(), 2 * iters_timed, blend_weights=[1.0])
 
-        best = 0.0
+        rates = []
         for _ in range(3):
             start = time.perf_counter()
-            engine.optimize(content, [style], init, iters_timed, blend_weights=[1.0])
+            engine.optimize(content, [style], fresh_init(), iters_timed, blend_weights=[1.0])
             t_n = time.perf_counter() - start
             start = time.perf_counter()
-            engine.optimize(content, [style], init, 2 * iters_timed, blend_weights=[1.0])
+            engine.optimize(content, [style], fresh_init(), 2 * iters_timed, blend_weights=[1.0])
             t_2n = time.perf_counter() - start
             megapixels = size * size / 1e6
-            best = max(best, megapixels * iters_timed / max(t_2n - t_n, 1e-9))
-        return best
+            rates.append(megapixels * iters_timed / max(t_2n - t_n, 1e-9))
+        return float(np.median(rates))
 
     def robust(optimizer: str) -> float:
         # the axon tunnel sporadically aborts valid runs with a bare
