@@ -16,11 +16,11 @@ overhead).  vs_baseline > 5 meets the BASELINE.json wall-clock target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-``--video`` additionally measures the second north-star metric, styled
-video frames/min: the real vid_img pipeline (flow prepass, warped temporal
-targets, per-frame resume artifacts) on synthetic 512² frames, as the
-marginal rate between a 4-frame and a 12-frame run (see
-measure_video_frames_per_min).
+The second north-star metric, styled video frames/min, is measured by
+default (skip with ``--no-video``): the real vid_img pipeline (flow
+prepass, warped temporal targets, per-frame resume artifacts) on synthetic
+512² frames, as the marginal rate between a 4-frame and a 12-frame run
+(see measure_video_frames_per_min).
 """
 
 import json
@@ -79,6 +79,7 @@ def measure_video_frames_per_min(n_small: int = 4, n_big: int = 12, size: int = 
             "--init", "content",
             "--seed", "0",
             "--scaling_args", f"{tmp}/missing.json",
+            "--allow_random_weights",  # bench env ships no flow checkpoints
         ])
         vid_img(args)
 
@@ -187,10 +188,16 @@ def main():
             "optimizers": ["lbfgs", "adam"],
         },
     }
-    if "--video" in sys.argv:
-        vfpm = measure_video_frames_per_min()
-        result["video_frames_per_min"] = round(vfpm, 2)
-        result["video_vs_baseline"] = round(vfpm / REFERENCE_BASELINE_VIDEO_FRAMES_PER_MIN, 3)
+    # the second north-star metric (BASELINE.md: styled video frames/min)
+    # runs by DEFAULT so the driver artifact carries it; --no-video skips it,
+    # and a tunnel abort mid-video must not lose the image metrics above
+    if "--no-video" not in sys.argv:
+        try:
+            vfpm = measure_video_frames_per_min()
+            result["video_frames_per_min"] = round(vfpm, 2)
+            result["video_vs_baseline"] = round(vfpm / REFERENCE_BASELINE_VIDEO_FRAMES_PER_MIN, 3)
+        except Exception as e:  # noqa: BLE001
+            result["video_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     return result
 

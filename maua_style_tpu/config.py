@@ -66,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--style_layers", default="relu1_1,relu2_1,relu3_1,relu4_1,relu5_1")
     parser.add_argument("--pooling", choices=["avg", "max"], default="max")
     parser.add_argument("--disable_check", action="store_true")
+    parser.add_argument("--allow_random_weights", action="store_true",
+                        help="Proceed with deterministic random weights when a feature/flow "
+                             "checkpoint is missing (outputs are meaningless; tests/smoke only)")
 
     # switches
     parser.add_argument("--original_colors", action="store_true")

@@ -73,6 +73,15 @@ def _tree_vdot(a, b) -> jax.Array:
 
 
 
+def _dot_precision(dtype):
+    # On TPU, DEFAULT-precision dot_general truncates f32 operands to bf16 on
+    # the MXU; preferred_element_type only widens the ACCUMULATOR.  f32
+    # histories (the parity/fidelity config) must therefore dot at HIGHEST to
+    # actually keep input precision.  bf16 operands are exact on the MXU
+    # either way, so the serving config keeps DEFAULT (no extra passes).
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _hist_project(vecs, hist) -> jax.Array:
     """<v_k, hist_row_m> for a pytree of stacked vectors (K, *shape) against
     a pytree history (m, *shape) -> (K, m).
@@ -84,7 +93,8 @@ def _hist_project(vecs, hist) -> jax.Array:
     def one(v, h):
         v2 = v.reshape(v.shape[0], -1).astype(h.dtype)
         return jax.lax.dot_general(
-            v2, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            v2, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            precision=_dot_precision(h.dtype),
         )
 
     return _tsum(_tmap(one, vecs, hist))
@@ -97,6 +107,7 @@ def _hist_recombine(coeff: jax.Array, hist, like):
         out = jax.lax.dot_general(
             coeff[None].astype(h.dtype), h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(h.dtype),
         )[0]
         return out.reshape(like.shape).astype(like.dtype)
 
@@ -147,7 +158,8 @@ def lbfgs(
 
     def update(g, state: LBFGSState, params=None):
         y = _tmap(lambda gg, pg: gg - pg, g, state.prev_grad)
-        s = _tmap(lambda d: d * state.prev_t, state.prev_d)
+        # prev_t is an f32 scalar; cast back so non-f32 leaves keep their dtype
+        s = _tmap(lambda d: (d * state.prev_t).astype(d.dtype), state.prev_d)
 
         # ---- one streaming pass per history buffer ----
         # stack [s, y, g] leaf-wise -> (3, *shape); project against both
@@ -159,6 +171,8 @@ def lbfgs(
             lambda al: jax.lax.dot_general(
                 al.reshape(al.shape[0], -1), al.reshape(al.shape[0], -1),
                 (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(al.dtype),
             ),
             a,
         ))
@@ -208,6 +222,10 @@ def lbfgs(
             d = _tmap(lambda hg: -hg, _compact_hg(state, g, m))
         else:
             d = _tmap(lambda hg: -hg, _two_loop_hg(state, g, m))
+        # f32 scalar coefficients (h_diag, rho, t) promote non-f32 leaves;
+        # cast back so prev_d and the update keep the parameter dtype (the
+        # transform stays a generic optax member for bf16 leaves)
+        d = _tmap(lambda dd, gg: dd.astype(gg.dtype), d, g)
 
         g_l1 = _tsum(_tmap(lambda gg: jnp.sum(jnp.abs(gg), dtype=jnp.float32), g))
         t = jnp.where(
@@ -217,7 +235,7 @@ def lbfgs(
         )
 
         state = state._replace(prev_grad=g, prev_d=d, prev_t=t, step=state.step + 1)
-        return _tmap(lambda dd: t * dd, d), state
+        return _tmap(lambda dd: (t * dd).astype(dd.dtype), d), state
 
     return optax.GradientTransformation(init, update)
 
@@ -239,13 +257,15 @@ def _two_loop_hg(state: LBFGSState, g, m: int):
         s_j = row(state.s_hist, slot, q)
         y_j = row(state.y_hist, slot, q)
         a_j = state.rho[slot] * _tree_vdot(s_j, q)
-        q = _tmap(lambda qq, yj: jnp.where(valid, qq - a_j * yj, qq), q, y_j)
+        # cast the f32-coefficient product back so the fori_loop carry keeps
+        # the parameter dtype with non-f32 leaves
+        q = _tmap(lambda qq, yj: jnp.where(valid, qq - (a_j * yj).astype(qq.dtype), qq), q, y_j)
         al = al.at[slot].set(jnp.where(valid, a_j, 0.0))
         return q, al
 
     neg_g = _tmap(lambda gg: -gg, g)
     q, al = jax.lax.fori_loop(0, m, loop1, (neg_g, jnp.zeros((m,), jnp.float32)), unroll=min(m, 8))
-    d = _tmap(lambda qq: qq * state.h_diag, q)
+    d = _tmap(lambda qq: (qq * state.h_diag).astype(qq.dtype), q)
 
     def loop2(j, d):
         slot = (state.ptr - state.count + j) % m  # oldest -> newest
@@ -253,7 +273,7 @@ def _two_loop_hg(state: LBFGSState, g, m: int):
         s_j = row(state.s_hist, slot, d)
         y_j = row(state.y_hist, slot, d)
         be = state.rho[slot] * _tree_vdot(y_j, d)
-        return _tmap(lambda dd, sj: jnp.where(valid, dd + sj * (al[slot] - be), dd), d, s_j)
+        return _tmap(lambda dd, sj: jnp.where(valid, dd + (sj * (al[slot] - be)).astype(dd.dtype), dd), d, s_j)
 
     d = jax.lax.fori_loop(0, m, loop2, d, unroll=min(m, 8))
     return _tmap(lambda dd: -dd, d)  # loops computed -H g

@@ -25,7 +25,7 @@ from .ops.resize import resize_bilinear
 _MODEL_CACHE: dict[str, object] = {}
 
 
-def _get_net(name: str):
+def _get_net(name: str, allow_random: bool | None = None):
     if name in _MODEL_CACHE:
         return _MODEL_CACHE[name]
     if name == "spynet":
@@ -50,6 +50,19 @@ def _get_net(name: str):
                 params.setdefault(layer, {})[kind] = jnp.asarray(data[key])
             break
     if params is None:
+        from .models.registry import allow_random_weights
+
+        if not allow_random_weights(allow_random):
+            # random flow weights render a vid_img run with garbage temporal
+            # targets; the reference hard-fails here too (ImportError on the
+            # missing submodule, flow.py:33-74)
+            raise FileNotFoundError(
+                f"No checkpoint for flow model '{name}' (modelzoo/{name}.npz).\n"
+                f"Convert the torch weights once with:\n"
+                f"    python -m maua_style_tpu.models.flownets.convert {name} <torch-weights.pth(.tar)> modelzoo/{name}.npz\n"
+                f"or pass --allow_random_weights to proceed with deterministic "
+                f"random weights (flow output will be meaningless; tests only)."
+            )
         print(f"Warning: no checkpoint for flow model '{name}' (modelzoo/{name}.npz); using deterministic init.")
     net = Net(params)
     _MODEL_CACHE[name] = net
@@ -90,7 +103,8 @@ def predict(net, im1: np.ndarray, im2: np.ndarray) -> np.ndarray:
 def get_flow_model(args):
     """Averaging ensemble over the selected models (reference flow.py:74)."""
     names = [n.strip() for n in str(args.flow_models).split(",") if n.strip()]
-    nets = [_get_net(n) for n in names]
+    allow = getattr(args, "allow_random_weights", False) or None  # False defers to the env-var policy
+    nets = [_get_net(n, allow) for n in names]
     if not nets:
         raise ValueError("no flow models selected")
 
@@ -180,7 +194,8 @@ def get_flow_pair_model(args):
     for the selected ensemble — replaces four eager calls + host consistency
     math per pair (reference load.py:155-169 structure)."""
     names = [n.strip() for n in str(args.flow_models).split(",") if n.strip()]
-    nets = [_get_net(n) for n in names]
+    allow = getattr(args, "allow_random_weights", False) or None  # False defers to the env-var policy
+    nets = [_get_net(n, allow) for n in names]
     if not nets:
         raise ValueError("no flow models selected")
     cache: dict[tuple, object] = {}

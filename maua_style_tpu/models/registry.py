@@ -105,11 +105,29 @@ def select_model(model_file: str, pooling: str = "max") -> ExtractorSpec:
     raise ValueError(f"Model architecture not recognized: {model_file}")
 
 
-def load_params(spec: ExtractorSpec, model_file: str | None = None, seed: int = 0, strict: bool = True) -> dict:
+def allow_random_weights(flag: bool | None = None) -> bool:
+    """Random-init fallback policy: an explicit ``flag`` wins; otherwise the
+    ``MAUA_ALLOW_RANDOM_WEIGHTS`` env var (used by the test suite, which has
+    no checkpoints)."""
+    if flag is not None:
+        return bool(flag)
+    return os.environ.get("MAUA_ALLOW_RANDOM_WEIGHTS", "") not in ("", "0")
+
+
+def load_params(
+    spec: ExtractorSpec,
+    model_file: str | None = None,
+    seed: int = 0,
+    strict: bool = True,
+    allow_random: bool | None = None,
+) -> dict:
     """Load parameters for a spec.
 
     Resolution order: explicit .npz / .pth path -> modelzoo/{arch}.npz ->
-    modelzoo/{arch}.pth -> deterministic init (with a warning).
+    modelzoo/{arch}.pth.  A missing checkpoint is an ERROR (a run with random
+    feature weights silently renders garbage; the reference fails on a missing
+    model download too, models.py:255-347) unless ``allow_random`` — the
+    ``--allow_random_weights`` flag — opts into deterministic random init.
     """
     candidates = []
     if model_file and os.path.exists(str(model_file)):
@@ -125,6 +143,14 @@ def load_params(spec: ExtractorSpec, model_file: str | None = None, seed: int = 
                 from .convert import convert_torch_state_dict
 
                 return convert_torch_state_dict(spec, path, strict=strict)
+    if not allow_random_weights(allow_random):
+        raise FileNotFoundError(
+            f"No checkpoint for feature net '{spec.arch}' (searched {candidates}).\n"
+            f"Convert the torch weights once with:\n"
+            f"    python -m maua_style_tpu.models.convert <{spec.arch}.pth> modelzoo/{spec.arch}.npz\n"
+            f"or pass --allow_random_weights to run with deterministic random "
+            f"weights (outputs will be meaningless; for tests/smoke only)."
+        )
     print(
         f"Warning: no checkpoint found for {spec.arch} "
         f"(searched {candidates}); using deterministic random init."
@@ -132,4 +158,4 @@ def load_params(spec: ExtractorSpec, model_file: str | None = None, seed: int = 
     return init_params(spec, seed=seed)
 
 
-__all__ = ["select_model", "load_params", "MODEL_NAMES", "CHANNEL_LIST"]
+__all__ = ["select_model", "load_params", "allow_random_weights", "MODEL_NAMES", "CHANNEL_LIST"]

@@ -6,9 +6,11 @@ a lanczos-2 anti-alias prefilter (reflect padding) followed by bicubic
 interpolation (align_corners=True).
 
 Dynamic crop sizes don't trace under jit, so sizes here are *stratified
-static*: slot i takes the ((i + 0.5) / cutn)-quantile of the reference's
-size distribution — the same marginal distribution with lower variance, and
-every slot's shape is known at trace time.  Crop offsets stay random per
+static*: slot i takes the ((i + phase) / cutn)-quantile of the reference's
+size distribution, with the phase picked at random per call from a small
+static set (``lax.switch`` — every branch static-shaped).  Same marginal
+distribution; sizes vary across iterations; variance is lower than iid
+sampling but refines as ``phases`` grows.  Crop offsets stay random per
 call.  With static sizes the reference's whole resample becomes EXACT: both
 the lanczos prefilter and the bicubic interpolation are linear maps along
 each axis, so each slot gets one precomputed (cut_size, s) matrix
@@ -86,17 +88,23 @@ def resample_matrix(src: int, dst: int) -> np.ndarray:
     return (bicubic_matrix(dst, src) @ lanczos_prefilter_matrix(src, dst)).astype(np.float32)
 
 
-def stratified_sizes(h: int, w: int, cut_size: int, cutn: int, cut_pow: float) -> tuple[int, ...]:
-    """Static per-slot crop sizes: the ((i+0.5)/cutn)-quantiles of the
-    reference's size law  int(u^cut_pow * (max - min) + min)."""
+def stratified_sizes(
+    h: int, w: int, cut_size: int, cutn: int, cut_pow: float, phase: float = 0.5
+) -> tuple[int, ...]:
+    """Static per-slot crop sizes: the ((i+phase)/cutn)-quantiles of the
+    reference's size law  int(u^cut_pow * (max - min) + min).
+
+    ``phase`` in (0, 1) positions the sample within each stratum: a jitted
+    caller traces one branch per phase and picks one at random per call
+    (stratified sampling across iterations rather than fixed midpoints)."""
     max_size = min(h, w)
     min_size = min(h, w, cut_size)
     return tuple(
-        int(((i + 0.5) / cutn) ** cut_pow * (max_size - min_size) + min_size) for i in range(cutn)
+        int(((i + phase) / cutn) ** cut_pow * (max_size - min_size) + min_size) for i in range(cutn)
     )
 
 
-@partial(jax.jit, static_argnames=("cut_size", "cutn", "cut_pow", "method"))
+@partial(jax.jit, static_argnames=("cut_size", "cutn", "cut_pow", "method", "phases"))
 def make_cutouts(
     key: jax.Array,
     x: jax.Array,
@@ -104,24 +112,44 @@ def make_cutouts(
     cutn: int,
     cut_pow: float = 1.0,
     method: str = "lanczos",
+    phases: int = 4,
 ) -> jax.Array:
-    """x: (1, H, W, C) in [0,1] -> (cutn, cut_size, cut_size, C)."""
+    """x: (1, H, W, C) in [0,1] -> (cutn, cut_size, cut_size, C).
+
+    Sizes are stratified per slot; each call picks one of ``phases``
+    quantile phases at random (``lax.switch`` over per-phase branches, every
+    branch static-shaped), so sizes vary across iterations and the marginal
+    size law refines toward the reference's iid sampling as phases grows."""
     if method == "bilinear":
         return _make_cutouts_bilinear(key, x, cut_size, cutn, cut_pow)
     _, h, w, c = x.shape
-    sizes = stratified_sizes(h, w, cut_size, cutn, cut_pow)
-    offs = jax.random.uniform(key, (cutn, 2))
-
+    k_phase, k_offs = jax.random.split(key)
+    offs = jax.random.uniform(k_offs, (cutn, 2))
     img = x[0]
-    outs = []
-    for i, s in enumerate(sizes):
-        oy = jnp.floor(offs[i, 0] * (h - s + 1)).astype(jnp.int32)
-        ox = jnp.floor(offs[i, 1] * (w - s + 1)).astype(jnp.int32)
-        crop = jax.lax.dynamic_slice(img, (oy, ox, jnp.int32(0)), (s, s, c))
-        mat = jnp.asarray(resample_matrix(s, cut_size))
-        rows = jnp.einsum("is,swc->iwc", mat, crop)
-        outs.append(jnp.einsum("jw,iwc->ijc", mat, rows))
-    return clamp_with_grad(jnp.stack(outs), 0.0, 1.0)
+
+    def branch_fn(p: int):
+        sizes = stratified_sizes(h, w, cut_size, cutn, cut_pow, phase=(p + 0.5) / phases)
+
+        def branch(operands):
+            img, offs = operands
+            outs = []
+            for i, s in enumerate(sizes):
+                oy = jnp.floor(offs[i, 0] * (h - s + 1)).astype(jnp.int32)
+                ox = jnp.floor(offs[i, 1] * (w - s + 1)).astype(jnp.int32)
+                crop = jax.lax.dynamic_slice(img, (oy, ox, jnp.int32(0)), (s, s, c))
+                mat = jnp.asarray(resample_matrix(s, cut_size))
+                rows = jnp.einsum("is,swc->iwc", mat, crop)
+                outs.append(jnp.einsum("jw,iwc->ijc", mat, rows))
+            return jnp.stack(outs)
+
+        return branch
+
+    if phases <= 1:
+        out = branch_fn(0)((img, offs))
+    else:
+        phase = jax.random.randint(k_phase, (), 0, phases)
+        out = jax.lax.switch(phase, [branch_fn(p) for p in range(phases)], (img, offs))
+    return clamp_with_grad(out, 0.0, 1.0)
 
 
 def _make_cutouts_bilinear(key, x, cut_size, cutn, cut_pow):

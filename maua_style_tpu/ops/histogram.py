@@ -40,7 +40,7 @@ def _sqrt_psd(cov: np.ndarray) -> np.ndarray:
     return (eve * root) @ eve.T
 
 
-def match_histogram(target, source, eps: float = 1e-2, mode="avg", rng: np.random.Generator | None = None):
+def match_histogram(target, source, eps: float = 1e-2, mode="avg", rng: np.random.Generator | None = None, jitter: float = 1e-3):
     """Match target's colour statistics to source's.
 
     target: (B, H, W, C) float array (any NHWC image/video).
@@ -69,9 +69,9 @@ def match_histogram(target, source, eps: float = 1e-2, mode="avg", rng: np.rando
                 frame = target[idx][None] if elementwise else target
                 # small jitter guards the eigendecomposition against singular
                 # covariances (reference utils.py:123-124)
-                _, t, ct = _channel_stats(frame + 1e-3 * rng.standard_normal(frame.shape).astype(np.float32), eps)
+                _, t, ct = _channel_stats(frame + jitter * rng.standard_normal(frame.shape).astype(np.float32), eps)
                 mu_s, _, cs = _channel_stats(
-                    src_frames + 1e-3 * rng.standard_normal(src_frames.shape).astype(np.float32), eps
+                    src_frames + jitter * rng.standard_normal(src_frames.shape).astype(np.float32), eps
                 )
                 qt = _sqrt_psd(ct)
                 qs = _sqrt_psd(cs)

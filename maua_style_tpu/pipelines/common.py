@@ -35,7 +35,8 @@ def build_engine(args, current_size: int | None = None) -> StyleEngine:
     if current_size is not None:
         set_model_args(args, current_size)
     spec = select_model(str(args.model_file).lower(), args.pooling)
-    params = load_params(spec, str(args.model_file), strict=not args.disable_check)
+    params = load_params(spec, str(args.model_file), strict=not args.disable_check,
+                         allow_random=getattr(args, "allow_random_weights", None) or None)
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if str(getattr(args, "compute_dtype", "float32")) in ("bfloat16", "bf16") else jnp.float32

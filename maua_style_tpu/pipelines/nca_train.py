@@ -36,9 +36,9 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 STYLE_LAYERS = ("relu1_1", "relu2_1", "relu3_1", "relu4_1", "relu5_1")
 
 
-def _build_style_fn(model_file: str = "vgg16"):
+def _build_style_fn(model_file: str = "vgg16", allow_random: bool | None = None):
     spec = truncate_spec(select_model("vgg16", "max"), STYLE_LAYERS)
-    params = load_feature_params(spec, model_file)
+    params = load_feature_params(spec, model_file, allow_random=allow_random)
 
     def calc_styles(imgs01):
         """(B, H, W, 3) in [0,1] -> list of batch Grams (B, C, C)
@@ -75,6 +75,7 @@ def train(
     log_every: int = 10,
     save_every: int = 500,
     model_file: str = "vgg16",
+    allow_random_weights: bool | None = None,
     min_rollout: int = 32,
     max_rollout: int = 96,
 ):
@@ -83,7 +84,7 @@ def train(
     img.thumbnail((128, 128), Image.LANCZOS)
     style01 = np.asarray(img, np.float32)[None] / 255.0
 
-    calc_styles = _build_style_fn(model_file)
+    calc_styles = _build_style_fn(model_file, allow_random_weights)
     target_grams = [jax.lax.stop_gradient(g[0]) for g in jax.jit(calc_styles)(jnp.asarray(style01))]
 
     ca_params = nca.init_ca_params(chn=chn, seed=seed)
@@ -149,6 +150,7 @@ def main(argv=None):
     ap.add_argument("--grid_size", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--model_file", type=str, default="vgg16")
+    ap.add_argument("--allow_random_weights", action="store_true")
     args = ap.parse_args(argv)
     train(
         args.style_file,
@@ -158,6 +160,7 @@ def main(argv=None):
         grid_size=args.grid_size,
         seed=args.seed,
         model_file=args.model_file,
+        allow_random_weights=args.allow_random_weights or None,
     )
 
 

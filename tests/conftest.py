@@ -7,6 +7,10 @@ vars alone are too late)."""
 
 import os
 
+# the suite ships no model checkpoints; opt into the deterministic
+# random-weight fallback (missing checkpoints are an error by default)
+os.environ.setdefault("MAUA_ALLOW_RANDOM_WEIGHTS", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

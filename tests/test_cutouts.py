@@ -80,3 +80,39 @@ def test_make_cutouts_lanczos_shapes_and_grad():
     g = jax.grad(lambda im: jnp.sum(make_cutouts(key, im, 16, 6) ** 2))(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
+def test_size_law_matches_reference_distribution():
+    """The phased-stratified size set matches the reference's iid law
+    int(u^cut_pow (max-min) + min) in distribution (KS distance bounded by
+    the stratification resolution)."""
+    h = w = 128
+    cut_size, cutn, cut_pow, phases = 32, 16, 1.5, 4
+    ours = np.array(
+        [
+            s
+            for p in range(phases)
+            for s in stratified_sizes(h, w, cut_size, cutn, cut_pow, phase=(p + 0.5) / phases)
+        ],
+        np.float64,
+    )
+    rng = np.random.default_rng(0)
+    u = rng.random(200_000)
+    ref = np.floor(u ** cut_pow * (min(h, w) - cut_size) + cut_size)
+
+    grid = np.arange(cut_size, min(h, w) + 1)
+    cdf_ours = (ours[None, :] <= grid[:, None]).mean(axis=1)
+    cdf_ref = (ref[None, :] <= grid[:, None]).mean(axis=1)
+    ks = np.abs(cdf_ours - cdf_ref).max()
+    assert ks <= 1.0 / (cutn * phases) + 0.02, ks
+
+
+def test_cutout_sizes_vary_across_calls():
+    """With phases > 1 the realised crop content distribution varies with the
+    key even at fixed offsets — different phases produce different outputs."""
+    x = jnp.asarray(np.random.default_rng(2).random((1, 64, 64, 3)), jnp.float32)
+    outs = [np.asarray(make_cutouts(jax.random.PRNGKey(k), x, 16, 4, phases=4)) for k in range(6)]
+    # at least two keys must pick different phases; outputs then differ even
+    # beyond offset noise — check pairwise distinctness of the largest slot
+    big = np.stack([o[-1] for o in outs])
+    assert len({b.tobytes() for b in big}) > 1

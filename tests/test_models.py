@@ -189,3 +189,36 @@ def test_fast_maxpool_matches_torch_forward_and_backward():
         jax.grad(lambda a: jnp.sum(max_pool_fast(a, 2) * g_nhwc))(jnp.asarray(x))
     )
     np.testing.assert_allclose(got_grad, want_grad, atol=1e-6)
+
+
+def test_missing_checkpoint_fails_loud(monkeypatch, tmp_path):
+    """A missing feature-net checkpoint is an error naming the convert
+    command; --allow_random_weights (or the test env var) opts out."""
+    import pytest
+
+    from maua_style_tpu.models import select_model
+    from maua_style_tpu.models.registry import load_params
+
+    monkeypatch.delenv("MAUA_ALLOW_RANDOM_WEIGHTS", raising=False)
+    monkeypatch.chdir(tmp_path)  # no modelzoo/ here
+    spec = select_model("vgg19", "max")
+    with pytest.raises(FileNotFoundError, match="maua_style_tpu.models.convert"):
+        load_params(spec, "vgg19")
+    # explicit opt-out falls back to deterministic init
+    params = load_params(spec, "vgg19", allow_random=True)
+    assert "conv1_1" in params
+
+
+def test_missing_flow_checkpoint_fails_loud(monkeypatch, tmp_path):
+    import pytest
+
+    from maua_style_tpu import flow as fm
+
+    monkeypatch.delenv("MAUA_ALLOW_RANDOM_WEIGHTS", raising=False)
+    monkeypatch.chdir(tmp_path)
+    fm._MODEL_CACHE.clear()
+    with pytest.raises(FileNotFoundError, match="flownets.convert"):
+        fm._get_net("spynet")
+    net = fm._get_net("spynet", allow_random=True)
+    assert net is not None
+    fm._MODEL_CACHE.clear()

