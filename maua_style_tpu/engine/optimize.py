@@ -253,6 +253,180 @@ class StyleEngine:
         self._runners[key] = jax.jit(run, donate_argnums=(1, 2))
         return self._runners[key]
 
+    # -- fused per-video-frame program ---------------------------------------
+
+    def _frame_runner(self, n_iters: int, fkey: tuple):
+        """One jitted program for a whole vid_img frame (reference
+        style.py:192-297 does this via ~6 host round trips): u8 preprocess +
+        resize, device histogram match, pastiche init (content / random /
+        warp_prev / blend), in-graph flow-warp temporal target, the
+        optimisation scan, output histogram match and u8 deprocess.  Only a
+        uint8 frame goes up and a uint8 image comes down per frame."""
+        key = ("frame", n_iters, fkey)
+        if key in self._runners:
+            return self._runners[key]
+
+        from ..ops.frame_ops import (
+            deprocess_to_u8,
+            match_histogram_device,
+            preprocess_u8,
+            warp_map_from_flow,
+        )
+        from ..ops.resize import resize_bilinear
+        from ..ops.warp import grid_sample
+
+        (out_hw, content_scale, init_mode, use_temporal, hist, temporal_blend, scale_key) = fkey
+        opt = self._make_optimizer()
+        scale = dict(scale_key)
+        cfg = self.loss_cfg
+        extract = self._extract
+
+        def run(prm, aux, style_targets, key):
+            # scale_factor resampling keeps the host path's torch
+            # scale-quirk semantics (ops/resize.py); size-mode otherwise
+            if content_scale is not None:
+                c = preprocess_u8(aux["content_u8"], scale_factor=content_scale)
+            else:
+                c = preprocess_u8(aux["content_u8"], size=out_hw)
+            if hist:
+                c = match_histogram_device(c, aux["mu_s"], aux["qs"])
+            targets = dict(style_targets)
+            targets["content"] = capture_content_targets(partial(extract, prm), c, cfg)
+
+            prev = aux.get("prev")
+            if prev is not None and prev.shape[1:3] != tuple(out_hw):
+                prev = resize_bilinear(prev, size=out_hw)
+            wmap = warp_map_from_flow(aux["flow"], out_hw) if "flow" in aux else None
+            if use_temporal:
+                warped = grid_sample(prev, wmap)
+                wts = None
+                if "weights_u8" in aux:
+                    w8 = aux["weights_u8"].astype(jnp.float32)[None, :, :, None] / 255.0
+                    wts = resize_bilinear(w8, size=out_hw)
+                targets["temporal"] = capture_temporal_targets(warped, wts)
+
+            if init_mode == "content":
+                p0 = c
+            elif init_mode == "random":
+                p0 = 0.001 * jax.random.normal(key, (1, *out_hw, 3), jnp.float32)
+            elif init_mode == "warp_prev":
+                p0 = grid_sample(prev, wmap)
+            elif init_mode == "blend":
+                b = aux["blend"]
+                b = preprocess_u8(b, size=out_hw) if b.dtype == jnp.uint8 else resize_bilinear(b, size=out_hw)
+                p0 = (1.0 - temporal_blend) * b + temporal_blend * prev
+            else:
+                raise ValueError(init_mode)
+
+            st = opt.init(p0)
+
+            def loss_fn(p):
+                acts = extract(prm, p, cfg.all_layers)
+                total, per = evaluate_losses(p, acts, targets, cfg, scale)
+                return total, per
+
+            def step(carry, _):
+                p, s = carry
+                (_, per), grad = jax.value_and_grad(loss_fn, has_aux=True)(p)
+                grad = grad.astype(jnp.float32)
+                updates, s2 = opt.update(grad, s, p)
+                p = optax.apply_updates(p, updates)
+                if self.pastiche_sharding is not None:
+                    p = jax.lax.with_sharding_constraint(p, self.pastiche_sharding)
+                return (p, s2), per
+
+            (p, _), log = jax.lax.scan(step, (p0, st), length=n_iters)
+            out = match_histogram_device(p, aux["mu_s"], aux["qs"]) if hist else p
+            return out, deprocess_to_u8(out), log
+
+        self._runners[key] = jax.jit(run)
+        return self._runners[key]
+
+    def prep_frame(self, content_u8, out_hw: tuple[int, int], hist_stats=None):
+        """Preprocess (+histogram-match) one u8 frame on device — seeds the
+        device-resident chain (frame 0 of a prev_warp pass, reference
+        style.py:223-228)."""
+        from ..ops.frame_ops import match_histogram_device, preprocess_u8
+
+        key = ("prep", tuple(out_hw), hist_stats is not None)
+        if key not in self._runners:
+            if hist_stats is None:
+                self._runners[key] = jax.jit(lambda u8: preprocess_u8(u8, size=tuple(out_hw)))
+            else:
+                self._runners[key] = jax.jit(
+                    lambda u8, mu, qs: match_histogram_device(preprocess_u8(u8, size=tuple(out_hw)), mu, qs)
+                )
+        if hist_stats is None:
+            return self._runners[key](jnp.asarray(content_u8))
+        mu_s, qs = hist_stats
+        return self._runners[key](jnp.asarray(content_u8), jnp.asarray(mu_s), jnp.asarray(qs))
+
+    def optimize_frame(
+        self,
+        content_u8,
+        styles: Sequence,
+        num_iters: int,
+        *,
+        out_hw: tuple[int, int],
+        content_scale: float | None = None,
+        blend_weights: Sequence[float] | None = None,
+        init_mode: str = "content",
+        prev=None,
+        blend=None,
+        temporal_blend: float = 1.0,
+        flow=None,
+        weights_u8=None,
+        use_temporal: bool = False,
+        hist_stats=None,
+        seed: int = 0,
+    ):
+        """Device-resident video-frame optimisation: returns (pastiche f32,
+        display u8) BOTH as device arrays — the caller chains ``pastiche``
+        into the next frame's ``prev`` and fetches ``display`` (asynchronously)
+        for the PNG artifact.  See _frame_runner for what runs in-graph."""
+        blend_weights = (
+            list(blend_weights) if blend_weights is not None else [1.0 / max(len(styles), 1)] * len(styles)
+        )
+        aux: dict[str, Any] = {"content_u8": jnp.asarray(content_u8)}
+        if hist_stats is not None:
+            aux["mu_s"] = jnp.asarray(hist_stats[0])
+            aux["qs"] = jnp.asarray(hist_stats[1])
+        if prev is not None:
+            aux["prev"] = prev if isinstance(prev, jax.Array) else jnp.asarray(prev, jnp.float32)
+        if blend is not None:
+            aux["blend"] = jnp.asarray(blend)
+        if flow is not None:
+            aux["flow"] = jnp.asarray(flow, jnp.float32)
+        if weights_u8 is not None:
+            aux["weights_u8"] = jnp.asarray(weights_u8)
+
+        if content_scale is not None:
+            from ..ops.resize import scale_shape
+
+            probe = scale_shape(np.shape(content_u8)[:2], content_scale)
+            assert tuple(probe) == tuple(out_hw), (probe, out_hw)
+        style_targets = {"style": self.style_targets(styles, blend_weights)}
+        scale_key = (
+            self._strength_scale({"content_img": np.zeros((1, *out_hw, 3), np.float32), **style_targets})
+            if self.normalize_weights
+            else ()
+        )
+        runner = self._frame_runner(
+            int(num_iters),
+            (
+                tuple(out_hw),
+                None if content_scale is None else float(content_scale),
+                init_mode,
+                bool(use_temporal),
+                hist_stats is not None,
+                float(temporal_blend),
+                scale_key,
+            ),
+        )
+        pastiche, display, log = runner(self.params, aux, style_targets, jax.random.PRNGKey(seed))
+        self.last_loss_log = log  # device array; fetch lazily if needed
+        return pastiche, display
+
     # -- public API ----------------------------------------------------------
 
     def optimize(

@@ -8,6 +8,7 @@ reference load.py:21-32).
 from .image import (
     CAFFE_MEAN,
     preprocess,
+    load_u8,
     deprocess,
     save_image,
     save_tensor_to_file,

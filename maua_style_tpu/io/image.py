@@ -49,6 +49,12 @@ def preprocess(image_path, size: tuple[int, int] | None = None) -> np.ndarray:
     return bgr[None]
 
 
+def load_u8(image_path) -> np.ndarray:
+    """Load an image as raw (H, W, 3) uint8 RGB — the compact transfer format
+    for the fused device-side frame preprocessing (ops.frame_ops)."""
+    return np.asarray(Image.open(_fetch(str(image_path))).convert("RGB"))
+
+
 def deprocess(tensor: np.ndarray) -> Image.Image:
     """(1, H, W, 3) or (H, W, 3) BGR mean-subtracted -> PIL RGB image
     (reference load.py:47-52)."""

@@ -87,4 +87,28 @@ def match_histogram_device(x, mu_s, qs, eps: float = 1e-2):
     return out.reshape(x.shape).astype(x.dtype)
 
 
-__all__ = ["preprocess_u8", "deprocess_to_u8", "style_hist_stats", "match_histogram_device"]
+def warp_map_from_flow(flow, out_hw: tuple[int, int], smooth_sigma: float = 5.0):
+    """(H, W, 2) raw pixel-unit flow -> (1, h, w, 2) grid_sample map in
+    [-1, 1]; the in-graph equivalent of io.flo.flow_warp_map (reference
+    load.py:191-214): normalise by (W, H), gaussian-smooth (sigma 5), add
+    the identity meshgrid, bilinearly resize to the working resolution."""
+    from .gaussian import gaussian_blur
+
+    h, w = flow.shape[:2]
+    f = flow.astype(jnp.float32) / jnp.asarray([w, h], jnp.float32)
+    f = gaussian_blur(f, [smooth_sigma, smooth_sigma, 0])
+    gx = jnp.linspace(-1.0, 1.0, w, dtype=jnp.float32)
+    gy = jnp.linspace(-1.0, 1.0, h, dtype=jnp.float32)
+    wm = (jnp.stack(jnp.meshgrid(gx, gy), axis=-1) + f)[None]
+    if tuple(out_hw) != (h, w):
+        wm = resize_bilinear(wm, size=tuple(out_hw))
+    return wm
+
+
+__all__ = [
+    "preprocess_u8",
+    "deprocess_to_u8",
+    "style_hist_stats",
+    "match_histogram_device",
+    "warp_map_from_flow",
+]

@@ -7,6 +7,19 @@ optional loop rotation, alternating frame direction, per-frame artifact
 resume, pastiche initialisation (random / prev_warp / content / previous
 pass/scale artifacts), flow-warped temporal targets + blending, saving, and
 muxing.  The per-scale setup and the inner optimisation are injected.
+
+Two inner paths:
+
+- **device chain** (vid_img with a StyleEngine): the whole per-frame
+  pipeline — u8 preprocess, histogram match, init/blend, flow warp,
+  optimisation, output match, u8 deprocess — is ONE jitted device program
+  (engine.optimize_frame); the pastiche stays device-resident between
+  frames and PNG artifacts are written by a background thread.  Per frame
+  only a uint8 image goes up and a uint8 image comes down (the reference
+  round-trips ~6 float32 arrays through the host per frame,
+  style.py:192-297).
+- **host path** (CLIP video, --original_colors): the original per-frame
+  host orchestration.
 """
 
 from __future__ import annotations
@@ -14,15 +27,41 @@ from __future__ import annotations
 import glob
 import os
 import random
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 from .. import io as mio
-from ..io.flo import flow_warp_map, reliable_flow_weighting
+from ..io.flo import flow_warp_map, read_flo, reliable_flow_weighting
 from ..ops.histogram import match_histogram
-from ..ops.resize import resize_bilinear_np
+from ..ops.resize import resize_bilinear_np, scale_shape
 from ..utils import name
 from .vid_img_mux import mux_video, warp
+
+
+class _AsyncSaver:
+    """Fetches device u8 images and writes PNGs off the critical path."""
+
+    def __init__(self):
+        self._pool = ThreadPoolExecutor(max_workers=2)
+        self._futures = []
+
+    def submit(self, display_u8, out_path: str) -> None:
+        from PIL import Image
+
+        def write():
+            Image.fromarray(np.asarray(display_u8)).save(out_path)
+
+        self._futures.append(self._pool.submit(write))
+
+    def drain(self) -> None:
+        for f in self._futures:
+            f.result()  # surface write errors
+        self._futures.clear()
+
+    def close(self) -> None:
+        self.drain()
+        self._pool.shutdown()
 
 
 def run_video_style_passes(
@@ -34,6 +73,7 @@ def run_video_style_passes(
     on_scale,
     optimize_frame,
     use_temporal_targets: bool,
+    frame_engine=None,
 ) -> None:
     """Drive the (scale, pass, frame) triple loop.
 
@@ -43,120 +83,216 @@ def run_video_style_passes(
     ``use_temporal_targets``: vid_img feeds the flow-warped previous frame as
     a weighted temporal target; the CLIP pipeline does not (the reference
     computes but discards it, clip_video_style.py:164->173).
+    ``frame_engine(ctx)``: returns the StyleEngine for the fused device-chain
+    path, or None to use the host path.
     """
     from .common import scale_styles
 
     content_size = mio.preprocess(frames[0]).shape[1:3]
+    saver = _AsyncSaver()
 
-    prev_size = args.image_sizes[0]
-    for size_n, (current_size, num_iters) in enumerate(zip(args.image_sizes, args.num_iters)):
-        next_size = args.image_sizes[min(len(args.image_sizes) - 1, size_n + 1)]
-        if len(glob.glob(f"{output_dir}/{next_size}/*.png")) == len(frames):
-            print(f"Skipping size: {current_size}, already done.")
-            prev_size = current_size
-            continue
-
-        print(f"\nCurrent size {current_size}px")
-        os.makedirs(f"{output_dir}/{current_size}", exist_ok=True)
-        content_scale = current_size / max(*content_size)
-
-        style_images = scale_styles(
-            style_images_big,
-            (1, int(content_scale * content_size[0]), int(content_scale * content_size[1])),
-            args.style_scale,
-        )
-        ctx = on_scale(current_size, style_images)
-
-        for pass_n in range(args.passes_per_scale):
-            pastiche = None
-            if args.loop:
-                start_idx = random.randrange(0, len(frames) - 1)
-                frames = frames[start_idx:] + frames[:start_idx]
-
-            if len(glob.glob(f"{output_dir}/{current_size}/{pass_n + 2}_*.png")) == len(frames):
-                print(f"Skipping pass: {pass_n + 1}, already done.")
-                frames = list(reversed(frames))
+    try:
+        prev_size = args.image_sizes[0]
+        for size_n, (current_size, num_iters) in enumerate(zip(args.image_sizes, args.num_iters)):
+            next_size = args.image_sizes[min(len(args.image_sizes) - 1, size_n + 1)]
+            if len(glob.glob(f"{output_dir}/{next_size}/*.png")) == len(frames):
+                print(f"Skipping size: {current_size}, already done.")
+                prev_size = current_size
                 continue
 
-            frame_pairs = zip(
-                frames + frames[: 11 if args.loop else 1],
-                frames[1:] + frames[: 10 if args.loop else 1],
+            print(f"\nCurrent size {current_size}px")
+            os.makedirs(f"{output_dir}/{current_size}", exist_ok=True)
+            content_scale = current_size / max(*content_size)
+
+            style_images = scale_styles(
+                style_images_big,
+                (1, int(content_scale * content_size[0]), int(content_scale * content_size[1])),
+                args.style_scale,
             )
-            for n, (prev_frame, this_frame) in enumerate(frame_pairs):
-                out_path = f"{output_dir}/{current_size}/{pass_n + 1}_{name(this_frame)}.png"
-                if os.path.isfile(out_path) and not n >= len(frames):
+            ctx = on_scale(current_size, style_images)
+            engine = frame_engine(ctx) if frame_engine is not None else None
+            device_chain = engine is not None and not args.original_colors
+            out_hw = scale_shape(content_size, content_scale)
+            hist_stats = None
+            if device_chain and args.match_histograms:
+                from ..ops.frame_ops import style_hist_stats
+
+                hist_stats = style_hist_stats(style_images_big[0], mode=args.match_histograms)
+
+            for pass_n in range(args.passes_per_scale):
+                pastiche = None  # host-path chain (np) or device-path chain (jax.Array)
+                if args.loop:
+                    start_idx = random.randrange(0, len(frames) - 1)
+                    frames = frames[start_idx:] + frames[:start_idx]
+
+                if len(glob.glob(f"{output_dir}/{current_size}/{pass_n + 2}_*.png")) == len(frames):
+                    print(f"Skipping pass: {pass_n + 1}, already done.")
+                    frames = list(reversed(frames))
                     continue
-                print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frame: {name(this_frame)}")
 
-                content_frames = [
-                    resize_bilinear_np(mio.preprocess(prev_frame), scale_factor=content_scale),
-                    resize_bilinear_np(mio.preprocess(this_frame), scale_factor=content_scale),
-                ]
-                content_frames = [
-                    match_histogram(f, style_images_big[0], mode=args.match_histograms) for f in content_frames
-                ]
-                flow_direction = "forward" if pass_n % 2 == 0 else "backward"
-                flo_file = f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.flo"
-
-                temporal_target = None
-                temporal_weights = None
-                if size_n == 0 and pass_n == 0:
-                    if args.init == "random":
-                        pastiche = np.random.randn(*content_frames[1].shape).astype(np.float32) * 0.001
-                    elif args.init == "prev_warp":
-                        if pastiche is None:
-                            pastiche = content_frames[0]
-                        pastiche = warp(pastiche, flow_warp_map(flo_file, pastiche.shape[1:3]))
-                    else:
-                        pastiche = content_frames[1].copy()
-                else:
-                    if pass_n == 0:
-                        src_size = prev_size if n <= len(frames) else current_size
-                        src_pass = args.passes_per_scale if n <= len(frames) else pass_n + 1
-                    else:
-                        src_size = current_size
-                        src_pass = pass_n if n <= len(frames) else pass_n + 1
-                    if pastiche is None:
-                        ifile = f"{output_dir}/{src_size}/{src_pass}_{name(prev_frame)}.png"
-                        pastiche = resize_bilinear_np(mio.preprocess(ifile), size=content_frames[0].shape[1:3])
-                    bfile = f"{output_dir}/{src_size}/{src_pass}_{name(this_frame)}.png"
-                    blend_image = resize_bilinear_np(mio.preprocess(bfile), size=content_frames[0].shape[1:3])
-
-                    if use_temporal_targets:
-                        # (prev frame, warp map) — the engine fuses the flow
-                        # warp into the jitted optimisation program (one
-                        # device call per frame; reference warps separately,
-                        # style.py:273-276)
-                        temporal_target = (pastiche, flow_warp_map(flo_file, pastiche.shape[1:3]))
-                        weight_file = (
-                            f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.png"
-                        )
-                        temporal_weights = resize_bilinear_np(
-                            reliable_flow_weighting(weight_file), size=pastiche.shape[1:3]
-                        )
-
-                    pastiche = (1 - args.temporal_blend) * blend_image + args.temporal_blend * pastiche
-
-                output_image = optimize_frame(
-                    ctx, content_frames[1], pastiche, temporal_target, temporal_weights,
-                    max(num_iters // args.passes_per_scale, 1),
+                frame_pairs = zip(
+                    frames + frames[: 11 if args.loop else 1],
+                    frames[1:] + frames[: 10 if args.loop else 1],
                 )
+                for n, (prev_frame, this_frame) in enumerate(frame_pairs):
+                    out_path = f"{output_dir}/{current_size}/{pass_n + 1}_{name(this_frame)}.png"
+                    if os.path.isfile(out_path) and not n >= len(frames):
+                        pastiche = None  # resume skip: reseed the chain from artifacts
+                        continue
+                    print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frame: {name(this_frame)}")
+                    flow_direction = "forward" if pass_n % 2 == 0 else "backward"
+                    flo_file = f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.flo"
+                    first = size_n == 0 and pass_n == 0
 
-                pastiche = match_histogram(output_image, style_images_big[0], mode=args.match_histograms)
-                if pastiche.shape != content_frames[1].shape:
-                    pastiche = resize_bilinear_np(pastiche, size=content_frames[1].shape[1:3])
+                    if device_chain:
+                        pastiche = _device_frame(
+                            args, engine, style_images, hist_stats, out_hw, content_scale,
+                            output_dir, current_size, prev_size, pass_n, n, len(frames),
+                            prev_frame, this_frame, flo_file, flow_direction, first,
+                            use_temporal_targets, num_iters, pastiche, saver, out_path,
+                        )
+                        continue
 
-                disp = mio.deprocess(pastiche)
-                if args.original_colors:
-                    from ..ops.colors import original_colors
+                    content_frames = [
+                        resize_bilinear_np(mio.preprocess(prev_frame), scale_factor=content_scale),
+                        resize_bilinear_np(mio.preprocess(this_frame), scale_factor=content_scale),
+                    ]
+                    content_frames = [
+                        match_histogram(f, style_images_big[0], mode=args.match_histograms) for f in content_frames
+                    ]
 
-                    disp = original_colors(mio.deprocess(content_frames[1]), disp)
-                disp.save(out_path)
+                    temporal_target = None
+                    temporal_weights = None
+                    if first:
+                        if args.init == "random":
+                            pastiche = np.random.randn(*content_frames[1].shape).astype(np.float32) * 0.001
+                        elif args.init == "prev_warp":
+                            if pastiche is None:
+                                pastiche = content_frames[0]
+                            pastiche = warp(pastiche, flow_warp_map(flo_file, pastiche.shape[1:3]))
+                        else:
+                            pastiche = content_frames[1].copy()
+                    else:
+                        if pass_n == 0:
+                            src_size = prev_size if n <= len(frames) else current_size
+                            src_pass = args.passes_per_scale if n <= len(frames) else pass_n + 1
+                        else:
+                            src_size = current_size
+                            src_pass = pass_n if n <= len(frames) else pass_n + 1
+                        if pastiche is None:
+                            ifile = f"{output_dir}/{src_size}/{src_pass}_{name(prev_frame)}.png"
+                            pastiche = resize_bilinear_np(mio.preprocess(ifile), size=content_frames[0].shape[1:3])
+                        bfile = f"{output_dir}/{src_size}/{src_pass}_{name(this_frame)}.png"
+                        blend_image = resize_bilinear_np(mio.preprocess(bfile), size=content_frames[0].shape[1:3])
 
-            frames = list(reversed(frames))
+                        if use_temporal_targets:
+                            # (prev frame, warp map) — the engine fuses the flow
+                            # warp into the jitted optimisation program (one
+                            # device call per frame; reference warps separately,
+                            # style.py:273-276)
+                            temporal_target = (pastiche, flow_warp_map(flo_file, pastiche.shape[1:3]))
+                            weight_file = (
+                                f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.png"
+                            )
+                            temporal_weights = resize_bilinear_np(
+                                reliable_flow_weighting(weight_file), size=pastiche.shape[1:3]
+                            )
 
-        mux_video(output_dir, current_size, args)
-        prev_size = current_size
+                        pastiche = (1 - args.temporal_blend) * blend_image + args.temporal_blend * pastiche
+
+                    output_image = optimize_frame(
+                        ctx, content_frames[1], pastiche, temporal_target, temporal_weights,
+                        max(num_iters // args.passes_per_scale, 1),
+                    )
+
+                    pastiche = match_histogram(output_image, style_images_big[0], mode=args.match_histograms)
+                    if pastiche.shape != content_frames[1].shape:
+                        pastiche = resize_bilinear_np(pastiche, size=content_frames[1].shape[1:3])
+
+                    disp = mio.deprocess(pastiche)
+                    if args.original_colors:
+                        from ..ops.colors import original_colors
+
+                        disp = original_colors(mio.deprocess(content_frames[1]), disp)
+                    disp.save(out_path)
+
+                frames = list(reversed(frames))
+                saver.drain()  # artifacts must exist before resume checks / mux
+
+            saver.drain()
+            mux_video(output_dir, current_size, args)
+            prev_size = current_size
+    finally:
+        saver.close()
+
+
+def _device_frame(
+    args, engine, style_images, hist_stats, out_hw, content_scale,
+    output_dir, current_size, prev_size, pass_n, n, n_frames,
+    prev_frame, this_frame, flo_file, flow_direction, first,
+    use_temporal_targets, num_iters, chain, saver, out_path,
+):
+    """One frame through the fused device program; returns the new device
+    chain pastiche.  Mirrors the host path's init/blend/temporal semantics
+    (reference style.py:192-297)."""
+    import jax.numpy as jnp
+
+    from PIL import Image
+
+    this_u8 = mio.load_u8(this_frame)
+    kwargs: dict = {}
+    if first:
+        if args.init == "random":
+            mode = "random"
+            kwargs["seed"] = int(getattr(args, "seed", 0) or 0) + n
+        elif args.init == "prev_warp":
+            mode = "warp_prev"
+            kwargs["flow"] = read_flo(flo_file)
+            if chain is None:
+                saver.drain()  # the previous frame's artifact may still be queued
+                prev_art = f"{output_dir}/{current_size}/{pass_n + 1}_{name(prev_frame)}.png"
+                if os.path.isfile(prev_art):
+                    chain = jnp.asarray(resize_bilinear_np(mio.preprocess(prev_art), size=out_hw))
+                else:
+                    chain = engine.prep_frame(mio.load_u8(prev_frame), out_hw, hist_stats)
+            kwargs["prev"] = chain
+        else:
+            mode = "content"
+    else:
+        if pass_n == 0:
+            src_size = prev_size if n <= n_frames else current_size
+            src_pass = args.passes_per_scale if n <= n_frames else pass_n + 1
+        else:
+            src_size = current_size
+            src_pass = pass_n if n <= n_frames else pass_n + 1
+        if src_size == current_size and src_pass == pass_n + 1:
+            saver.drain()  # loop-wrap reads artifacts of the CURRENT pass
+        if chain is None:
+            ifile = f"{output_dir}/{src_size}/{src_pass}_{name(prev_frame)}.png"
+            chain = jnp.asarray(resize_bilinear_np(mio.preprocess(ifile), size=out_hw))
+        mode = "blend"
+        kwargs["prev"] = chain
+        kwargs["blend"] = mio.load_u8(f"{output_dir}/{src_size}/{src_pass}_{name(this_frame)}.png")
+        kwargs["temporal_blend"] = float(args.temporal_blend)
+        if use_temporal_targets:
+            kwargs["flow"] = read_flo(flo_file)
+            weight_file = f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.png"
+            kwargs["weights_u8"] = np.asarray(Image.open(weight_file).convert("L"))
+            kwargs["use_temporal"] = True
+
+    pastiche, display = engine.optimize_frame(
+        this_u8,
+        style_images,
+        max(num_iters // args.passes_per_scale, 1),
+        out_hw=out_hw,
+        blend_weights=args.style_blend_weights,
+        init_mode=mode,
+        hist_stats=hist_stats,
+        content_scale=content_scale,
+        **kwargs,
+    )
+    saver.submit(display, out_path)
+    return pastiche
 
 
 __all__ = ["run_video_style_passes"]

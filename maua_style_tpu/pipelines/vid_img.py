@@ -48,6 +48,9 @@ def vid_img(args) -> None:
     run_video_style_passes(
         args, output_dir, frames, style_images_big,
         on_scale=on_scale, optimize_frame=optimize_frame, use_temporal_targets=True,
+        # device-resident frame chain: the whole per-frame pipeline is one
+        # jitted program and only uint8 images cross the host boundary
+        frame_engine=lambda ctx: ctx[0],
     )
 
 

@@ -142,3 +142,100 @@ def test_img_vid_window_scheduler_overlap():
 
 def _exists_any(base):
     return any(os.path.exists(base + ext) for ext in (".mp4", ".npy"))
+
+
+def test_warp_map_from_flow_matches_host():
+    """In-graph warp-map construction == io.flo.flow_warp_map (normalise,
+    gaussian sigma-5, meshgrid, resize)."""
+    import jax.numpy as jnp
+
+    from maua_style_tpu.io.flo import flow_warp_map
+    from maua_style_tpu.ops.frame_ops import warp_map_from_flow
+
+    rng = np.random.default_rng(0)
+    flow = (rng.standard_normal((40, 48, 2)) * 3).astype(np.float32)
+    for out_hw in [(40, 48), (20, 24)]:
+        want = flow_warp_map(flow.copy(), out_hw)
+        got = np.asarray(warp_map_from_flow(jnp.asarray(flow), out_hw))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_fused_frame_program_matches_host_orchestration():
+    """engine.optimize_frame (u8 in-graph preprocess + init + scan + u8 out)
+    agrees with the host-orchestrated engine.optimize on the same frame."""
+    import jax.numpy as jnp
+
+    from maua_style_tpu.engine import StyleEngine
+    from maua_style_tpu.io.image import preprocess
+    from maua_style_tpu.losses import LossConfig
+    from maua_style_tpu.models import init_params, select_model
+    from maua_style_tpu.ops.frame_ops import deprocess_to_u8
+    from maua_style_tpu.ops.resize import resize_bilinear_np, scale_shape
+
+    rng = np.random.default_rng(3)
+    u8 = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    style = rng.standard_normal((1, 40, 40, 3)).astype(np.float32) * 30
+
+    spec = select_model("vgg19", "max")
+    cfg = LossConfig(content_layers=("relu2_1",), style_layers=("relu1_1", "relu2_1"))
+    engine = StyleEngine(spec, init_params(spec, seed=0), cfg, optimizer="adam", learning_rate=1.0)
+
+    scale = 0.75
+    out_hw = scale_shape((48, 64), scale)
+    pastiche_dev, display = engine.optimize_frame(
+        u8, [style], 5, out_hw=out_hw, content_scale=scale, blend_weights=[1.0], init_mode="content"
+    )
+
+    content = resize_bilinear_np(preprocess(u8), scale_factor=scale)
+    want = engine.optimize(content, [style], content.copy(), 5, blend_weights=[1.0])
+
+    got = np.asarray(pastiche_dev)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=0.05)
+    np.testing.assert_array_equal(np.asarray(display), np.asarray(deprocess_to_u8(jnp.asarray(want))))
+
+
+def test_fused_frame_temporal_blend_matches_host():
+    """Blend init + flow-warped temporal target in the fused program match
+    the host-path formulas (reference style.py:273-286)."""
+    import jax.numpy as jnp
+
+    from maua_style_tpu.engine import StyleEngine
+    from maua_style_tpu.io.flo import flow_warp_map
+    from maua_style_tpu.io.image import preprocess
+    from maua_style_tpu.losses import LossConfig
+    from maua_style_tpu.models import init_params, select_model
+    from maua_style_tpu.ops.resize import resize_bilinear_np, scale_shape
+
+    rng = np.random.default_rng(5)
+    u8 = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    blend_u8 = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    style = rng.standard_normal((1, 24, 24, 3)).astype(np.float32) * 30
+    flow = (rng.standard_normal((32, 32, 2)) * 2).astype(np.float32)
+    weights_u8 = (rng.random((32, 32)) * 255).astype(np.uint8)
+    prev = rng.standard_normal((1, 32, 32, 3)).astype(np.float32) * 40
+
+    spec = select_model("vgg19", "max")
+    cfg = LossConfig(content_layers=("relu2_1",), style_layers=("relu1_1",), temporal_weight=500.0)
+    engine = StyleEngine(spec, init_params(spec, seed=0), cfg, optimizer="adam", learning_rate=1.0)
+
+    out_hw = (32, 32)
+    tb = 0.6
+    pastiche_dev, _ = engine.optimize_frame(
+        u8, [style], 4, out_hw=out_hw, blend_weights=[1.0], init_mode="blend",
+        prev=jnp.asarray(prev), blend=blend_u8, temporal_blend=tb,
+        flow=flow, weights_u8=weights_u8, use_temporal=True,
+    )
+
+    content = preprocess(u8)
+    wmap = flow_warp_map(flow, out_hw)
+    blend_f = preprocess(blend_u8)
+    init = (1 - tb) * blend_f + tb * prev
+    weights = resize_bilinear_np(
+        (weights_u8.astype(np.float32) / 255.0)[None, :, :, None], size=out_hw
+    )
+    want = engine.optimize(
+        content, [style], init, 4, blend_weights=[1.0],
+        temporal_warp=(prev, wmap), temporal_weights=weights,
+    )
+    np.testing.assert_allclose(np.asarray(pastiche_dev), want, atol=0.05)
