@@ -128,6 +128,11 @@ class ClipVQGANEngine:
 
         self._encode_z = jax.jit(encode_z)
         self._runners: dict = {}
+        # one Adam instance + one jitted init per engine (eager optax init
+        # issues a tiny device program per state leaf; optax states from
+        # equal-hyperparameter instances are interchangeable)
+        self._opt = optax.adam(self.learning_rate)
+        self._jit_opt_init = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -197,7 +202,14 @@ class ClipVQGANEngine:
                 return (z, st), terms
 
             (z, opt_state), log = jax.lax.scan(step, (z, opt_state), keys)
-            return z, opt_state, log
+            # decode the final z in the SAME program: the separate synth
+            # executable (and its 30-125 s per-process load on a tunneled
+            # TPU, PERF.md "Process-startup costs") never has to load on
+            # the optimize path — chunk ends and the final image all come
+            # out of this runner
+            z_q = vq.quantize(z, vq_params["codebook"])
+            out01 = clamp_with_grad((vq.decode(vq_params, z_q, self.vq_cfg) + 1.0) / 2.0, 0.0, 1.0)
+            return z, opt_state, log, out01
 
         self._runners[key] = jax.jit(run, donate_argnums=(2, 3))
         return self._runners[key]
@@ -222,11 +234,16 @@ class ClipVQGANEngine:
     ) -> np.ndarray:
         """Images are (1, H, W, 3) RGB in [0, 1].  Returns the synthesised
         image in the same format (reference clip_vqgan.py:525-563)."""
+        from ..utils import on_host
+
         h, w = init.shape[1:3]
         side_y = (h // self.res) * self.res
         side_x = (w // self.res) * self.res
-        init = np.asarray(resize_bilinear(jnp.asarray(init, jnp.float32), size=(side_y, side_x)))
-        content = np.asarray(resize_bilinear(jnp.asarray(content, jnp.float32), size=(side_y, side_x)))
+        # host-side resize: eager device ops through a tunneled TPU are
+        # whole compile+load round trips each (see utils.on_host)
+        _resize = on_host(lambda a: resize_bilinear(jnp.asarray(a, jnp.float32), size=(side_y, side_x)))
+        init = np.asarray(_resize(init))
+        content = np.asarray(_resize(content))
 
         z = self._encode_z(self.vq_params, jnp.asarray(init))
         content_embed = self.embed_image(content)
@@ -237,15 +254,16 @@ class ClipVQGANEngine:
 
         if mask is not None:
             mask = np.asarray(
-                resize_bilinear(jnp.asarray(mask, jnp.float32), size=(z.shape[1], z.shape[2]))
+                on_host(lambda a: resize_bilinear(jnp.asarray(a, jnp.float32), size=(z.shape[1], z.shape[2])))(mask)
             )
             mask_arr = jnp.asarray(mask)
         else:
             mask_arr = jnp.ones((), jnp.float32)
 
-        opt = optax.adam(self.learning_rate)
-        opt_state = opt.init(z)
-        runner = None
+        if self._jit_opt_init is None:
+            self._jit_opt_init = jax.jit(self._opt.init)
+        opt_state = self._jit_opt_init(z)
+        out = None
         losses_log = []
         done = 0
         chunk = iterations if save_every <= 0 else save_every
@@ -256,7 +274,7 @@ class ClipVQGANEngine:
                 content_weight, style_weight, text_weight,
             )
             keys = jax.random.split(self._next_key(), n)
-            z, opt_state, log = runner(
+            z, opt_state, log, out = runner(
                 self.vq_params, self.clip.params, z, opt_state, keys, mask_arr,
                 content_embed, from_embed if from_embed is not None else jnp.zeros((1, 1)),
                 to_embed if to_embed is not None else jnp.zeros((1, 1)), style_embeds,
@@ -264,11 +282,13 @@ class ClipVQGANEngine:
             )
             losses_log.append(np.asarray(log))
             done += n
-            if save_callback is not None:
-                save_callback(np.asarray(self._synth(self.vq_params, z)), done)
+            if save_callback is not None and done < iterations:
+                save_callback(np.asarray(out), done)
 
         self.last_loss_log = np.concatenate(losses_log, axis=0)
-        return np.asarray(self._synth(self.vq_params, z))
+        if save_callback is not None:
+            save_callback(np.asarray(out), done)
+        return np.asarray(out)
 
     def optimize_cached(self, init, content, styles, mask, content_text, style_text,
                         content_weight, style_weight, text_weight, iterations) -> np.ndarray:

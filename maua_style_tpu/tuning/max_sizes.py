@@ -47,7 +47,8 @@ def _loss_cfg_for(model: str):
 
 
 def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: int = 100,
-                        layers=None, lbfgs_method: str = "compact", devices: int = 1) -> int:
+                        layers=None, lbfgs_method: str = "compact", devices: int = 1,
+                        compute_dtype: str = "float32") -> int:
     """Analytic PER-CHIP footprint of one jitted style-transfer step at
     size x size over ``devices`` chips (spatial "space" mesh axis).
 
@@ -64,6 +65,7 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
     spec = truncate_spec(select_model(model, "max"), cfg.all_layers)
 
     f32 = 4
+    act_el = 2 if compute_dtype in ("bfloat16", "bf16") else 4  # activation storage
     h = w = size
     act_bytes = 0
     stem_bytes = 0
@@ -86,14 +88,17 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
     # buffers (measured); nin's overhead vanished with the s2d stem
     arch_fudge = 2.1 if model == "prune" else 1.0
     total = pixels  # pastiche
-    total += (act_bytes * 2.1 + stem_bytes) * arch_fudge  # fwd residuals + bwd buffers (calibrated)
+    total += (act_bytes * (act_el / f32) * 2.1 + stem_bytes) * arch_fudge  # fwd residuals + bwd buffers (calibrated at f32)
     if optimizer == "adam":
         total += 2 * pixels  # mu, nu
     else:
         # s/y circular history plus transient copies during the in-scan
         # buffer updates; the compact method adds recombination transposes
-        # (both factors measured via XLA memory analysis)
+        # (both factors measured via XLA memory analysis).  The serving
+        # config stores histories in bf16 (engine/optimize.py), halving the
+        # history term
         factor = 5.3 if lbfgs_method == "compact" else 4.0
+        factor *= act_el / f32 if compute_dtype in ("bfloat16", "bf16") else 1.0
         total += factor * lbfgs_history * pixels + 6 * pixels
     if devices > 1:
         # sharded terms split across the space axis; ~3% halo/all-gather slack
@@ -107,7 +112,8 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
     return int(total)
 
 
-def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1) -> int:
+def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1,
+                         compute_dtype: str = "bfloat16") -> int:
     """Compile the actual jitted step at this size and read XLA's memory
     analysis (argument + output + temp).  With ``devices`` > 1 the step is
     GSPMD-compiled over a "space" mesh (spatially sharded pastiche) and the
@@ -134,26 +140,33 @@ def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1
     cfg = _loss_cfg_for(model)
     spec = select_model(model, "max")
     params = init_params(spec, 0)
+    bf16 = compute_dtype in ("bfloat16", "bf16")
     engine = StyleEngine(
-        spec, params, cfg, optimizer=optimizer, learning_rate=1.0, pastiche_sharding=sharding
+        spec, params, cfg, optimizer=optimizer, learning_rate=1.0, pastiche_sharding=sharding,
+        compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+        precision="default" if bf16 else "highest",
     )
 
+    # the probe is COMPILE-ONLY: every argument is a ShapeDtypeStruct, so no
+    # device program runs and no HBM is touched — sizes beyond the chip's
+    # capacity compile fine and the analysis still reports their footprint
     shape = (1, size, size, 3)
+    sds = jax.ShapeDtypeStruct
+    abstract = lambda tree: jax.tree_util.tree_map(lambda a: sds(a.shape, a.dtype), tree)  # noqa: E731
+    style_shapes = jax.eval_shape(engine._jit_style, params, sds(shape, jnp.float32), 1.0)
     targets = {
         # the real runner captures content targets in-graph (content_img);
         # the probe must match so the measured footprint includes it
-        "content_img": jnp.zeros(shape),
-        "style": engine.style_targets([jnp.zeros(shape)], [1.0]),
+        "content_img": sds(shape, jnp.float32),
+        "style": style_shapes,
     }
     opt = engine._make_optimizer()
-    pastiche = jnp.zeros(shape)
-    if sharding is not None:
-        import jax as _jax
-
-        pastiche = _jax.device_put(pastiche, sharding)
-    opt_state = opt.init(pastiche)
+    pastiche = (
+        sds(shape, jnp.float32, sharding=sharding) if sharding is not None else sds(shape, jnp.float32)
+    )
+    opt_state = jax.eval_shape(opt.init, pastiche)
     runner = engine._runner(10, (), False)
-    lowered = runner.lower(engine.params, pastiche, opt_state, targets, jnp.ones((1, 1, 1, 1)))
+    lowered = runner.lower(abstract(params), pastiche, opt_state, targets, sds((1, 1, 1, 1), jnp.float32))
     compiled = lowered.compile()
     mem = compiled.memory_analysis()
     if mem is None:
@@ -176,6 +189,8 @@ def probe_max_sizes(
     budget_bytes: int | None = None,
     verbose: bool = True,
     devices: int = 1,
+    compute_dtype: str = "bfloat16",
+    seed_table: dict | None = None,
 ) -> dict:
     """Build the capacity table (reference max-sizes.py:59-111); ``devices``
     probes the spatially-sharded step over an n-chip mesh (the analogue of
@@ -184,13 +199,17 @@ def probe_max_sizes(
 
     def measure(model, optimizer, size):
         fn = estimate_step_bytes if method == "estimate" else _compiled_step_bytes
-        return fn(model, optimizer, size, devices=devices)
+        return fn(model, optimizer, size, devices=devices, compute_dtype=compute_dtype)
 
     table: dict[str, dict] = {}
     prev_safe = start_size
     for model in models:
         for optimizer in optimizers:
-            size = max(_round32(prev_safe / math.sqrt(2)), 256)
+            seed = (seed_table or {}).get(f"{model},{optimizer},{devices}", {}).get("safe_max_size")
+            # seeding from a previous table's safe size cuts the sqrt(2)
+            # ladder to a couple of probes per combo (analysis compiles are
+            # ~30-60 s each)
+            size = _round32(seed) if seed else max(_round32(prev_safe / math.sqrt(2)), 256)
             safe, true = None, None
             while size < 16384:
                 try:
@@ -233,6 +252,7 @@ def probe_max_sizes(
                 "true_max_size": true,
                 "budget_gb": round(budget / 1024 ** 3, 2),
                 "method": method,
+                "compute_dtype": compute_dtype,
             }
             if verbose:
                 print(f"{key}: safe {safe} / true {true}")
@@ -258,8 +278,18 @@ def main(argv=None):
                     "JAX devices — use XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     ap.add_argument("--hbm_gb", type=float, default=None,
                     help="override the per-chip HBM budget (default: this chip's)")
+    ap.add_argument("--compute_dtype", default="bfloat16",
+                    help="serving config dtype for the probed step (bfloat16 also stores "
+                    "L-BFGS histories in bf16, matching the engine)")
+    ap.add_argument("--seed_from", default=None,
+                    help="existing table JSON whose safe sizes seed the probe ladder")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
+
+    seed_table = None
+    if args.seed_from and os.path.exists(args.seed_from):
+        with open(args.seed_from) as f:
+            seed_table = json.load(f)
 
     budget = int(args.hbm_gb * 1024 ** 3) if args.hbm_gb else None
     table = probe_max_sizes(
@@ -268,6 +298,8 @@ def main(argv=None):
         method=args.method,
         devices=args.devices,
         budget_bytes=budget,
+        compute_dtype=args.compute_dtype,
+        seed_table=seed_table,
     )
     gb = round((budget or hbm_bytes()) / 1024 ** 3)
     out = args.out or f"configs/max-sizes-{gb}GB-{args.devices}chip.json"

@@ -42,9 +42,24 @@ class _ScaleGradients(torch.autograd.Function):
         return grad / (torch.norm(grad, keepdim=True) + 1e-8) * ctx.strength ** 2, None
 
 
-def _extract(net, x):
-    """Named relu activations of the sequential torch VGG replica."""
+def _extract(net, x, spec=None):
+    """Named activations of the sequential torch replica.  With a ``spec``,
+    names come from the extractor spec layer list (torch Dropout modules are
+    skipped — they are identity in eval, and the spec has no layer for them);
+    without one, VGG reluN_M naming is derived positionally."""
     acts = {}
+    if spec is not None:
+        layers = iter(spec.layers)
+        cur = next(layers, None)
+        for mod in net:
+            if isinstance(mod, nn.Dropout):
+                continue
+            if cur is None:
+                break
+            x = mod(x)
+            acts[cur.name] = x
+            cur = next(layers, None)
+        return acts
     block, conv = 1, 0
     for mod in net:
         x = mod(x)
@@ -57,9 +72,11 @@ def _extract(net, x):
     return acts
 
 
-def _gram(a):
+def _gram(a, use_covariance=False):
     b, c, h, w = a.shape
     flat = a.reshape(b * c, h * w)
+    if use_covariance:
+        flat = flat - flat.mean(dim=1, keepdim=True)  # reference loss.py:87-90
     return flat @ flat.t()
 
 
@@ -67,47 +84,81 @@ class RefOracle:
     """The reference's optimize() (optim.py:111-255) on a torch feature net,
     for single-frame pastiches (the img/frame path)."""
 
-    def __init__(self, net, cfg: LossConfig):
+    def __init__(self, net, cfg: LossConfig, spec=None, normalize_weights=False):
         self.net = net
         self.cfg = cfg
+        self.spec = spec
+        self.normalize_weights = normalize_weights
+        self.video_targets = {}
 
-    def capture(self, content, styles, blend_weights):
+    def capture(self, content, styles, blend_weights, gram_frame_window=None):
         cfg = self.cfg
         with torch.no_grad():
-            acts = _extract(self.net, content)
+            acts = _extract(self.net, content, self.spec)
             self.content_targets = {l: acts[l].detach() for l in cfg.content_layers}
             self.style_targets = {}
+            self.video_targets = {}
             for img, bw in zip(styles, blend_weights):
-                acts = _extract(self.net, img)
-                for l in cfg.style_layers:
-                    a = acts[l]
-                    tgt = 0
-                    for i in range(a.shape[0]):
-                        g = _gram(a[i : i + 1]) / a[i].nelement()
-                        tgt = tgt + bw * g / a.shape[0]
-                    self.style_targets[l] = self.style_targets.get(l, 0) + tgt
+                if gram_frame_window is not None:
+                    # reference optim.py:69-90: targets averaged over windows
+                    n_windows = max(img.shape[0] - gram_frame_window + 1, 1)
+                    w_eff = bw / n_windows
+                    for start in range(n_windows):
+                        self._capture_one(img[start : start + gram_frame_window], w_eff)
+                else:
+                    self._capture_one(img, bw)
+            # reference optim.py:176-178: strengths divided by max target dim
+            self.scales = {}
+            if self.normalize_weights:
+                for l, t in self.content_targets.items():
+                    self.scales[("content", l)] = 1.0 / max(t.shape)
+                for l, t in self.style_targets.items():
+                    self.scales[("style", l)] = 1.0 / max(t.shape)
+
+    def _capture_one(self, img, bw):
+        cfg = self.cfg
+        acts = _extract(self.net, img, self.spec)
+        for l in cfg.style_layers:
+            a = acts[l]
+            tgt = 0
+            for i in range(a.shape[0]):
+                g = _gram(a[i : i + 1], cfg.use_covariance) / a[i].nelement()
+                tgt = tgt + bw * g / a.shape[0]
+            self.style_targets[l] = self.style_targets.get(l, 0) + tgt
+            if cfg.video_style_factor > 0:
+                g = _gram(a, cfg.use_covariance) / a.nelement()  # loss.py:164-186
+                self.video_targets[l] = self.video_targets.get(l, 0) + bw * g
 
     def loss(self, pastiche, temporal_target=None, temporal_weights=None):
         cfg = self.cfg
         b = pastiche.shape[0]
         total = 0
+        sc = getattr(self, "scales", {})
         # losses list order = content, style, tv, temporal (models.py:453);
         # tv/temporal modules sit at the net front but accumulate identically
-        acts = _extract(self.net, pastiche)
+        acts = _extract(self.net, pastiche, self.spec)
         for l in cfg.content_layers:
+            cw = cfg.content_weight * sc.get(("content", l), 1.0)
             for i in range(b):
                 v = nn.functional.mse_loss(acts[l][i : i + 1], self.content_targets[l])
                 if cfg.normalize_gradients:
-                    v = _ScaleGradients.apply(v, cfg.content_weight)
-                total = total + v * cfg.content_weight / b
+                    v = _ScaleGradients.apply(v, cw)
+                total = total + v * cw / b
         for l in cfg.style_layers:
             a = acts[l]
+            sw = cfg.style_weight * sc.get(("style", l), 1.0)
             for i in range(b):
-                g = _gram(a[i : i + 1]) / a[i].nelement()
+                g = _gram(a[i : i + 1], cfg.use_covariance) / a[i].nelement()
                 v = nn.functional.mse_loss(g, self.style_targets[l])
                 if cfg.normalize_gradients:
-                    v = _ScaleGradients.apply(v, cfg.style_weight)
-                total = total + v * cfg.style_weight / b
+                    v = _ScaleGradients.apply(v, sw)
+                total = total + v * sw / b
+            if cfg.video_style_factor > 0 and l in self.video_targets:
+                g = _gram(a, cfg.use_covariance) / a.nelement()
+                v = nn.functional.mse_loss(g, self.video_targets[l])
+                if cfg.normalize_gradients:
+                    v = _ScaleGradients.apply(v, sw)
+                total = total + cfg.video_style_factor * v * sw / b
         if cfg.tv_weight > 0:
             dh = pastiche[:, :, 1:, :] - pastiche[:, :, :-1, :]
             dw = pastiche[:, :, :, 1:] - pastiche[:, :, :, :-1]
@@ -123,8 +174,9 @@ class RefOracle:
                 total = total + v * cfg.temporal_weight / b
         return total
 
-    def optimize(self, content, styles, blend_weights, init, num_iters, optimizer, lr=1.0, **temporal):
-        self.capture(content, styles, blend_weights)
+    def optimize(self, content, styles, blend_weights, init, num_iters, optimizer, lr=1.0,
+                 gram_frame_window=None, **temporal):
+        self.capture(content, styles, blend_weights, gram_frame_window)
         pastiche = nn.Parameter(init.clone())
         if optimizer == "lbfgs":
             opt = torch.optim.LBFGS(
@@ -297,3 +349,140 @@ def test_fidelity_vid_img_frame():
 
     s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(out[0]))
     assert s >= 0.98, f"vid_img frame SSIM {s:.4f} < 0.98"
+
+
+def test_fidelity_nin_arch():
+    """NIN (the smallest zoo arch, reference models.py:74-113) through the
+    full optimize loop — covers the non-VGG naming/structure path."""
+    from test_models import build_torch_nin
+
+    cfg = LossConfig(content_layers=("relu7",), style_layers=("relu1", "relu3", "relu5", "relu7"))
+    torch.manual_seed(3)
+    net = build_torch_nin("max").eval()
+    for p in net.parameters():
+        p.requires_grad_(False)
+    spec = select_model("nin", "max")
+    from test_models import params_from_torch
+
+    params = params_from_torch(net, spec)
+    engine = StyleEngine(spec, params, cfg, optimizer="lbfgs", learning_rate=1.0, precision="highest")
+
+    rng = np.random.default_rng(4)
+    content = _smooth(rng, 96, 96)
+    style = _smooth(rng, 96, 96)
+    init = content.clone()
+    oracle = RefOracle(net, cfg, spec=spec)
+    ref = oracle.optimize(content, [style], [1.0], init, 20, "lbfgs")
+    out = engine.optimize(_to_nhwc(content), [_to_nhwc(style)], _to_nhwc(init), 20, blend_weights=[1.0])
+    s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(out[0]))
+    assert s >= 0.98, f"NIN SSIM {s:.4f} < 0.98"
+
+
+def test_fidelity_covariance_mode():
+    """--use_covariance: mean-centred Grams (reference loss.py:87-90)."""
+    cfg = LossConfig(use_covariance=True)
+    rng = np.random.default_rng(5)
+    content = _smooth(rng, 96, 96)
+    style = _smooth(rng, 96, 96)
+    init = content.clone()
+
+    net, engine = _setup(cfg, "lbfgs", 1.0, seed=5)
+    oracle = RefOracle(net, cfg)
+    ref = oracle.optimize(content, [style], [1.0], init, 20, "lbfgs")
+    out = engine.optimize(_to_nhwc(content), [_to_nhwc(style)], _to_nhwc(init), 20, blend_weights=[1.0])
+    s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(out[0]))
+    assert s >= 0.98, f"covariance SSIM {s:.4f} < 0.98"
+
+
+def test_fidelity_normalize_weights():
+    """--normalize_weights: per-loss strength / max(target dim), applied once
+    after capture (reference optim.py:176-178)."""
+    cfg = LossConfig()
+    torch.manual_seed(6)
+    net = build_torch_vgg(CHANNEL_LIST["vgg19"], "max").eval()
+    for p in net.parameters():
+        p.requires_grad_(False)
+    spec = select_model("vgg19", "max")
+    from test_models import params_from_torch
+
+    params = params_from_torch(net, spec)
+    engine = StyleEngine(
+        spec, params, cfg, optimizer="lbfgs", learning_rate=1.0,
+        precision="highest", normalize_weights=True,
+    )
+
+    rng = np.random.default_rng(6)
+    content = _smooth(rng, 96, 96)
+    style = _smooth(rng, 96, 96)
+    init = content.clone()
+    oracle = RefOracle(net, cfg, normalize_weights=True)
+    ref = oracle.optimize(content, [style], [1.0], init, 25, "lbfgs")
+    out = engine.optimize(_to_nhwc(content), [_to_nhwc(style)], _to_nhwc(init), 25, blend_weights=[1.0])
+    s = ssim(_clip_img(_to_nhwc(ref)[0]), _clip_img(out[0]))
+    assert s >= 0.98, f"normalize_weights SSIM {s:.4f} < 0.98"
+
+
+def test_fidelity_img_vid_window_step():
+    """One img_vid window step (4-frame pastiche, whole-video window):
+    per-frame static Grams + the dynamic full-window Gram scaled by
+    video_style_factor (reference loss.py:141-186, optim.py:69-90)."""
+    cfg = LossConfig(
+        content_layers=(), style_layers=("relu1_1", "relu2_1", "relu3_1"),
+        video_style_factor=1.0, tv_weight=1e-3, temporal_weight=0.0,
+    )
+    torch.manual_seed(7)
+    net = build_torch_vgg(CHANNEL_LIST["vgg19"], "max").eval()
+    for p in net.parameters():
+        p.requires_grad_(False)
+    spec = select_model("vgg19", "max")
+    from test_models import params_from_torch
+
+    params = params_from_torch(net, spec)
+    engine = StyleEngine(spec, params, cfg, optimizer="lbfgs", learning_rate=1.0, precision="highest")
+
+    rng = np.random.default_rng(7)
+    frames = torch.cat([_smooth(rng, 64, 64) for _ in range(4)], dim=0)
+    style_video = torch.cat([_smooth(rng, 64, 64) for _ in range(4)], dim=0)
+    init = frames.clone()
+
+    oracle = RefOracle(net, cfg)
+    ref = oracle.optimize(frames, [style_video], [1.0], init, 15, "lbfgs", gram_frame_window=4)
+    out = engine.optimize(
+        _to_nhwc(frames), [_to_nhwc(style_video)], _to_nhwc(init), 15,
+        transfer_type="img_vid", blend_weights=[1.0], gram_frame_window=4,
+    )
+    s = float(np.mean([ssim(_clip_img(_to_nhwc(ref)[i]), _clip_img(out[i])) for i in range(4)]))
+    assert s >= 0.98, f"img_vid window SSIM {s:.4f} < 0.98"
+
+
+def test_bf16_serving_converges_like_f32():
+    """The bf16 serving config reaches the same final loss as full f32
+    (PERF.md: trajectories diverge chaotically, the optimisation target does
+    not) — bounds the serving config's numerical effect at 256²/100 iters."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(8)
+    content = np.asarray(_smooth(rng, 256, 256)).transpose(0, 2, 3, 1)
+    style = np.asarray(_smooth(rng, 256, 256)).transpose(0, 2, 3, 1)
+    init = content.copy()
+
+    from maua_style_tpu.models import init_params
+
+    spec = select_model("vgg19", "max")
+    params = init_params(spec, seed=0)
+    cfg = LossConfig()
+    finals = {}
+    for dtype, precision in ((jnp.float32, "highest"), (jnp.bfloat16, "default")):
+        engine = StyleEngine(
+            spec, params, cfg, optimizer="adam", learning_rate=1.0,
+            precision=precision, compute_dtype=dtype,
+        )
+        engine.optimize(content, [style], init, 100, blend_weights=[1.0])
+        log = np.asarray(engine.last_loss_log)
+        finals[precision] = (float(log[0].sum()), float(log[-1].sum()))
+
+    (i_f32, f_f32), (i_bf16, f_bf16) = finals["highest"], finals["default"]
+    # random-weight VGG at 256^2 descends steadily but not steeply; the bound
+    # checks genuine optimisation, not a convergence rate
+    assert f_f32 < 0.8 * i_f32 and f_bf16 < 0.8 * i_bf16, finals
+    assert abs(f_bf16 - f_f32) / f_f32 < 0.05, finals  # same optimisation target
