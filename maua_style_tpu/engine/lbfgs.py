@@ -21,10 +21,15 @@ prev_d, the parameter update) keeps the PARAMETER'S NATIVE SHAPE.  Flattening
 the whole optimiser via ravel_pytree handed XLA 1-D / (1, N) operands that
 it laid out as T(1,128)/T(1024) tiles in scoped memory (1/8 vector-lane
 utilisation plus relayout copies on every elementwise op, confirmed by HLO
-dump).  Only the history buffers are (m, N_leaf) 2-D — rank-5 histories with
-dynamic row updates abort with INVALID_ARGUMENT on this TPU backend — so
-each iteration pays exactly three cheap reshapes (s, y, g at the history
-boundary) instead of dragging every vector op into the degenerate layout.
+dump).  The history buffers keep the leaf's native
+shape too — (m, H, W, C) for a (1, H, W, C) pastiche, with the projection /
+recombination dots contracting the three trailing dims — so NO flatten of a
+pastiche-sized buffer exists anywhere in the program (a flattened (m, N)
+history plants 1-D layout preferences that XLA propagates backwards through
+the conv backward pass; measured +20 ms/iter at 1024²).  Leaves whose
+native history would be rank 5 (multi-frame windows; rank-5 dynamic row
+updates abort with INVALID_ARGUMENT on this TPU backend) fall back to
+(m, N) flattened storage.
 
 There is also no lax.cond anywhere: conditional branches around the (m, N)
 history writes broke XLA's in-place buffer analysis inside the larger scan
@@ -44,8 +49,8 @@ import optax
 
 
 class LBFGSState(NamedTuple):
-    s_hist: Any  # pytree of (m, leaf.size)
-    y_hist: Any  # pytree of (m, leaf.size)
+    s_hist: Any  # pytree of (m, *row_shape) — see _native_hist
+    y_hist: Any  # pytree of (m, *row_shape)
     rho: jax.Array  # (m,)  (two_loop method)
     w_sy: jax.Array  # (m, m) S^T Y gram, absolute slots (compact method)
     w_yy: jax.Array  # (m, m) Y^T Y gram, absolute slots (compact method)
@@ -73,6 +78,60 @@ def _tree_vdot(a, b) -> jax.Array:
 
 
 
+def _native_hist(leaf_shape: tuple[int, ...]) -> bool:
+    """True when the history for this leaf keeps the leaf's spatial shape.
+
+    A (1, H, W, C) pastiche gets a (m, H, W, C) history: every history op
+    (row insert, projection dot, recombination dot) then runs directly on
+    the leaf's native layout, and NO flatten/transpose of pastiche-sized
+    buffers exists anywhere in the program.  Flattening instead (rows as
+    (m, N)) plants 1-D/T(1,128) layout preferences that XLA propagates
+    backwards through the conv backward pass (measured +20 ms/iter at
+    1024²: the packed-stem backward convs fall off their fast emitter).
+    Leaves of other ranks — e.g. multi-frame (T, H, W, C) windows, whose
+    (m, T, H, W, C) history would be rank 5 (dynamic row updates on rank-5
+    operands abort on this TPU backend) — flatten as before.
+    """
+    return len(leaf_shape) == 4 and leaf_shape[0] == 1
+
+
+def _row_shape(leaf) -> tuple[int, ...]:
+    if _native_hist(leaf.shape):
+        _, h, w, c = leaf.shape
+        return (c, h, w)
+    return (leaf.size,)
+
+
+def _to_row(v: jax.Array) -> jax.Array:
+    """Leaf -> history row ((C, H, W) for NHWC pastiches, else flat).
+
+    XLA stores pastiche-sized NHWC f32 buffers physically (B, C, H, W)-major
+    ({2,1,3,0:T(8,128)}), so the NHWC->CHW transpose is a relabeling of the
+    native bytes and the (m, C, H, W) history tiles densely over (H, W)."""
+    if _native_hist(v.shape):
+        return jnp.transpose(v[0], (2, 0, 1))
+    return v.reshape(-1)
+
+
+def _stack_rows(vs: jax.Array) -> jax.Array:
+    """(K, *leaf.shape) stacked leaves -> (K, *row_shape)."""
+    if _native_hist(vs.shape[1:]):
+        return jnp.transpose(vs.reshape((vs.shape[0],) + vs.shape[2:]), (0, 3, 1, 2))
+    return vs.reshape(vs.shape[0], -1)
+
+
+def _from_row(row: jax.Array, like: jax.Array) -> jax.Array:
+    """History row -> leaf shape (inverse of _to_row)."""
+    if _native_hist(like.shape):
+        return jnp.transpose(row, (1, 2, 0))[None]
+    return row.reshape(like.shape)
+
+
+def _row_dims(h: jax.Array) -> tuple[int, ...]:
+    # contracting dims of a history/row-stack operand: everything but dim 0
+    return tuple(range(1, h.ndim))
+
+
 def _dot_precision(dtype):
     # On TPU, DEFAULT-precision dot_general truncates f32 operands to bf16 on
     # the MXU; preferred_element_type only widens the ACCUMULATOR.  f32
@@ -91,9 +150,10 @@ def _hist_project(vecs, hist) -> jax.Array:
     costs one cheap relayout, unlike keeping the whole optimiser flat)."""
 
     def one(v, h):
-        v2 = v.reshape(v.shape[0], -1).astype(h.dtype)
+        v2 = _stack_rows(v).astype(h.dtype)
         return jax.lax.dot_general(
-            v2, h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            v2, h, ((_row_dims(h), _row_dims(h)), ((), ())),
+            preferred_element_type=jnp.float32,
             precision=_dot_precision(h.dtype),
         )
 
@@ -108,8 +168,8 @@ def _hist_recombine(coeff: jax.Array, hist, like):
             coeff[None].astype(h.dtype), h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_dot_precision(h.dtype),
-        )[0]
-        return out.reshape(like.shape).astype(like.dtype)
+        )[0]  # row-shaped
+        return _from_row(out, like).astype(like.dtype)
 
     return _tmap(one, hist, like)
 
@@ -141,8 +201,8 @@ def lbfgs(
         # donated arguments ("Attempt to donate the same buffer twice")
         hdt = history_dtype
         return LBFGSState(
-            s_hist=_tmap(lambda p: z((m, p.size), hdt or p.dtype), params),
-            y_hist=_tmap(lambda p: z((m, p.size), hdt or p.dtype), params),
+            s_hist=_tmap(lambda p: z((m,) + _row_shape(p), hdt or p.dtype), params),
+            y_hist=_tmap(lambda p: z((m,) + _row_shape(p), hdt or p.dtype), params),
             rho=z((m,), jnp.float32),
             w_sy=z((m, m), jnp.float32),
             w_yy=z((m, m), jnp.float32),
@@ -167,15 +227,15 @@ def lbfgs(
         a = _tmap(lambda sl, yl, gl: jnp.stack([sl, yl, gl]), s, y, g)
         p_s = _hist_project(a, state.s_hist)  # (3, m)
         p_y = _hist_project(a, state.y_hist)  # (3, m)
-        gram3 = _tsum(_tmap(
-            lambda al: jax.lax.dot_general(
-                al.reshape(al.shape[0], -1), al.reshape(al.shape[0], -1),
-                (((1,), (1,)), ((), ())),
+        def _gram3_one(al):
+            r = _stack_rows(al)
+            return jax.lax.dot_general(
+                r, r, ((_row_dims(r), _row_dims(r)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_dot_precision(al.dtype),
-            ),
-            a,
-        ))
+            )
+
+        gram3 = _tsum(_tmap(_gram3_one, a))
         ys, yy = gram3[0, 1], gram3[1, 1]
         sg, yg = gram3[0, 2], gram3[1, 2]
 
@@ -186,7 +246,7 @@ def lbfgs(
         # blend, so the (m, *shape) buffers update in place)
         def put_row(hist, row):
             def one(h, r):
-                r2 = r.reshape(-1)
+                r2 = _to_row(r)
                 old = jax.lax.dynamic_index_in_dim(h, k, 0, keepdims=False)
                 return jax.lax.dynamic_update_index_in_dim(
                     h, (okf * r2 + (1 - okf) * old).astype(h.dtype), k, 0
@@ -246,7 +306,7 @@ def _two_loop_hg(state: LBFGSState, g, m: int):
 
     def row(hist, slot, like):
         return _tmap(
-            lambda h, l: jax.lax.dynamic_index_in_dim(h, slot, 0, keepdims=False).reshape(l.shape),
+            lambda h, l: _from_row(jax.lax.dynamic_index_in_dim(h, slot, 0, keepdims=False), l),
             hist, like,
         )
 

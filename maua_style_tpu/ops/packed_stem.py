@@ -74,6 +74,32 @@ def _packed_kernel(w: jax.Array) -> jax.Array:
     return k.reshape(3, 3, 2 * cin, 2 * cout)
 
 
+def _halo_blocked_conv3x3(xp: jax.Array, kern: jax.Array, bk: int, precision) -> jax.Array:
+    """3x3/pad-1 conv as a batch of H-blocks with explicit 1-row halos.
+
+    Hand-rolled space-to-batch: a batch-1 conv at this size depends on XLA's
+    space-to-batch pass for MXU utilisation, and that pass silently declines
+    when the conv's gradient feeds ops it can't propagate through (measured:
+    the L-BFGS history dots left the stem BACKWARD convs on a batch-in-
+    sublanes emitter at 1/8 utilisation, ~8 ms/iter excess at 1024²).
+    Blocking explicitly makes forward and backward batch-``nb`` convs in
+    every program.  Identical math: halo rows supply the cross-block taps,
+    zero rows at the ends reproduce pad-1.
+    """
+    _, h2, w, c = xp.shape
+    nb = h2 // bk
+    core = xp.reshape(nb, bk, w, c)
+    zero = jnp.zeros((1, 1, w, c), xp.dtype)
+    top = jnp.concatenate([zero, core[:-1, -1:]], axis=0)  # prev block's last row
+    bot = jnp.concatenate([core[1:, :1], zero], axis=0)  # next block's first row
+    blocked = jnp.concatenate([top, core, bot], axis=1)  # (nb, bk+2, w, c)
+    y = jax.lax.conv_general_dilated(
+        blocked, kern, (1, 1), [(0, 0), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    return y.reshape(1, h2, w, y.shape[-1])
+
+
 def packed_conv3x3(
     xp: jax.Array, w: jax.Array, b: jax.Array, precision=jax.lax.Precision.DEFAULT
 ) -> jax.Array:
@@ -84,25 +110,38 @@ def packed_conv3x3(
     float-summation order.
     """
     kern = _packed_kernel(w).astype(xp.dtype)
-    y = jax.lax.conv_general_dilated(
-        xp,
-        kern,
-        (1, 1),
-        [(1, 1), (1, 1)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=precision,
-    )
+    h2 = xp.shape[1]
+    if xp.shape[0] == 1 and h2 >= 64 and h2 % 8 == 0:
+        bk = 16 if h2 % 16 == 0 and h2 >= 128 else 8
+        y = _halo_blocked_conv3x3(xp, kern, bk, precision)
+    else:
+        y = jax.lax.conv_general_dilated(
+            xp,
+            kern,
+            (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
     cout = w.shape[3]
     return y + jnp.tile(b.astype(xp.dtype), 2)
 
 
 def pool_packed(y: jax.Array) -> jax.Array:
     """2x2/stride-2 max pool of the *unpacked* image == max over (row phase,
-    column pair) of the packed one; output is plain NHWC at half res."""
+    column pair) of the packed one; output is plain NHWC at half res.
+
+    Written as two pairwise ``jnp.maximum`` stages (row phase, then column
+    pair) instead of a 6-D reduce: the 6-D max's autodiff materialised two
+    window-broadcast buffers (~7 ms/iter at 1024², profiled), while the
+    pairwise form is pure elementwise selects both ways.  Forward values are
+    identical; cotangents of exact ties route differently (measure-zero for
+    continuous activations — same stance as ops/fast_pool.py)."""
     b, h2, w, c2 = y.shape
     c = c2 // 2
-    y = y.reshape(b, h2, w // 2, 2, 2, c)  # (.., col pair, row phase, c)
-    return y.max(axis=(3, 4))
+    ph = jnp.maximum(y[..., :c], y[..., c:])  # max over row phase
+    ph = ph.reshape(b, h2, w // 2, 2, c)
+    return jnp.maximum(ph[:, :, :, 0, :], ph[:, :, :, 1, :])  # max over column pair
 
 
 def as_phased(y: jax.Array) -> jax.Array:

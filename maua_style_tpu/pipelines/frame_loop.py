@@ -109,15 +109,35 @@ def run_video_style_passes(
                 (1, int(content_scale * content_size[0]), int(content_scale * content_size[1])),
                 args.style_scale,
             )
-            ctx = on_scale(current_size, style_images)
-            engine = frame_engine(ctx) if frame_engine is not None else None
-            device_chain = engine is not None and not args.original_colors
-            out_hw = scale_shape(content_size, content_scale)
-            hist_stats = None
-            if device_chain and args.match_histograms:
-                from ..ops.frame_ops import style_hist_stats
+            # engine build + style capture are DEVICE work (several program
+            # loads through a tunneled chip) — defer until a frame actually
+            # needs optimizing so fully-resumed scales stay filesystem-only
+            scale_state: dict = {}
 
-                hist_stats = style_hist_stats(style_images_big[0], mode=args.match_histograms)
+            def get_ctx():
+                if "ctx" not in scale_state:
+                    scale_state["ctx"] = on_scale(current_size, style_images)
+                return scale_state["ctx"]
+
+            def get_engine():
+                if "engine" not in scale_state:
+                    scale_state["engine"] = frame_engine(get_ctx()) if frame_engine is not None else None
+                return scale_state["engine"]
+
+            device_chain = frame_engine is not None and not args.original_colors
+            out_hw = scale_shape(content_size, content_scale)
+
+            def get_hist_stats():
+                if "hist" not in scale_state:
+                    if device_chain and args.match_histograms:
+                        from ..ops.frame_ops import style_hist_stats
+
+                        scale_state["hist"] = style_hist_stats(
+                            style_images_big[0], mode=args.match_histograms
+                        )
+                    else:
+                        scale_state["hist"] = None
+                return scale_state["hist"]
 
             for pass_n in range(args.passes_per_scale):
                 pastiche = None  # host-path chain (np) or device-path chain (jax.Array)
@@ -146,7 +166,7 @@ def run_video_style_passes(
 
                     if device_chain:
                         pastiche = _device_frame(
-                            args, engine, style_images, hist_stats, out_hw, content_scale,
+                            args, get_engine(), style_images, get_hist_stats(), out_hw, content_scale,
                             output_dir, current_size, prev_size, pass_n, n, len(frames),
                             prev_frame, this_frame, flo_file, flow_direction, first,
                             use_temporal_targets, num_iters, pastiche, saver, out_path,
@@ -201,7 +221,7 @@ def run_video_style_passes(
                         pastiche = (1 - args.temporal_blend) * blend_image + args.temporal_blend * pastiche
 
                     output_image = optimize_frame(
-                        ctx, content_frames[1], pastiche, temporal_target, temporal_weights,
+                        get_ctx(), content_frames[1], pastiche, temporal_target, temporal_weights,
                         max(num_iters // args.passes_per_scale, 1),
                     )
 

@@ -120,3 +120,33 @@ def test_video_gram_custom_vjp_matches_autodiff():
     g1 = np.asarray(jax.grad(loss_custom)(x))
     g2 = np.asarray(jax.grad(loss_auto)(x))
     np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-4)
+
+
+def test_halo_blocked_conv_matches_plain():
+    """The hand-rolled space-to-batch path (H2 >= 64: H-blocked batch with
+    1-row halos) is exact vs the unblocked packed conv, values and grads."""
+    import jax
+
+    from maua_style_tpu.ops.packed_stem import _halo_blocked_conv3x3, _packed_kernel
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+    kern = _packed_kernel(w)
+    for h2, bk in [(64, 8), (128, 16)]:
+        xp = jnp.asarray(rng.standard_normal((1, h2, 40, 8)).astype(np.float32))
+
+        def plain(x):
+            return jax.lax.conv_general_dilated(
+                x, kern, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def blocked(x):
+            return _halo_blocked_conv3x3(x, kern, bk, jax.lax.Precision.HIGHEST)
+
+        np.testing.assert_allclose(blocked(xp), plain(xp), atol=1e-4)
+        ct = jnp.asarray(rng.standard_normal((1, h2, 40, 12)).astype(np.float32))
+        g_b = jax.vjp(blocked, xp)[1](ct)[0]
+        g_p = jax.vjp(plain, xp)[1](ct)[0]
+        np.testing.assert_allclose(g_b, g_p, atol=1e-4)
