@@ -120,19 +120,22 @@ class ClipVQGANEngine:
             cuts = (cuts - CLIP_MEAN) / CLIP_STD
             return self._image_encoder(clip_params, cuts)
 
+        # unjitted fn is reused as the runner's first-chunk prologue; the
+        # jitted wrapper only loads for style-image embeds / direct API use
+        self._embed_cutouts_fn = embed_cutouts
         self._embed_cutouts = jax.jit(embed_cutouts)
 
         def encode_z(vq_params, img01):
             pre = vq.encode(vq_params, img01 * 2.0 - 1.0, cfg)
             return jax.lax.stop_gradient(vq.quantize(pre, vq_params["codebook"]))
 
+        self._encode_z_fn = encode_z
         self._encode_z = jax.jit(encode_z)
         self._runners: dict = {}
-        # one Adam instance + one jitted init per engine (eager optax init
-        # issues a tiny device program per state leaf; optax states from
-        # equal-hyperparameter instances are interchangeable)
+        # one Adam instance per engine; its init runs inside the runner's
+        # first-chunk prologue (optax states from equal-hyperparameter
+        # instances are interchangeable), so no separate init program
         self._opt = optax.adam(self.learning_rate)
-        self._jit_opt_init = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -186,11 +189,36 @@ class ClipVQGANEngine:
             )
             return sum(terms), jnp.stack(terms)
 
+        encode_z_fn = self._encode_z_fn
+        embed_cutouts_fn = self._embed_cutouts_fn
+
         # z_min/z_max are ARGUMENTS, not closure constants: traced constants
         # are baked into the HLO, so any change in codebook values would
         # change the persistent-cache key and force a fresh multi-minute
-        # compile of the scan program (observed: every re-init recompiled)
-        def run(vq_params, clip_params, z, opt_state, keys, mask, content_embed, from_embed, to_embed, style_embeds, z_min, z_max):
+        # compile of the scan program (observed: every re-init recompiled).
+        # The first-chunk prologue (z encode, content-cutout embed, Adam
+        # init) runs under lax.cond inside the SAME program, so a whole
+        # optimize() call — any number of chunks — loads exactly ONE big
+        # executable (PERF.md "Process-startup costs": each per-process
+        # load costs 30-125 s through a tunneled chip).
+        def run(vq_params, clip_params, first, init01, content01, z_in, opt_state_in, keys, mask,
+                content_embed_in, from_embed, to_embed, style_embeds, embed_key, z_min, z_max):
+            z = jax.lax.cond(
+                first,
+                lambda: encode_z_fn(vq_params, init01),
+                lambda: z_in,
+            )
+            content_embed = jax.lax.cond(
+                first,
+                lambda: embed_cutouts_fn(clip_params, embed_key, content01),
+                lambda: content_embed_in,
+            )
+            opt_state = jax.lax.cond(
+                first,
+                lambda: opt.init(z),
+                lambda: opt_state_in,
+            )
+
             def step(carry, rng):
                 z, st = carry
                 (_, terms), grad = jax.value_and_grad(losses_of, argnums=2, has_aux=True)(
@@ -203,15 +231,13 @@ class ClipVQGANEngine:
 
             (z, opt_state), log = jax.lax.scan(step, (z, opt_state), keys)
             # decode the final z in the SAME program: the separate synth
-            # executable (and its 30-125 s per-process load on a tunneled
-            # TPU, PERF.md "Process-startup costs") never has to load on
-            # the optimize path — chunk ends and the final image all come
-            # out of this runner
+            # executable never has to load on the optimize path — chunk
+            # ends and the final image all come out of this runner
             z_q = vq.quantize(z, vq_params["codebook"])
             out01 = clamp_with_grad((vq.decode(vq_params, z_q, self.vq_cfg) + 1.0) / 2.0, 0.0, 1.0)
-            return z, opt_state, log, out01
+            return z, opt_state, log, out01, content_embed
 
-        self._runners[key] = jax.jit(run, donate_argnums=(2, 3))
+        self._runners[key] = jax.jit(run, donate_argnums=(5, 6))
         return self._runners[key]
 
     # -- public API ---------------------------------------------------------
@@ -245,8 +271,13 @@ class ClipVQGANEngine:
         init = np.asarray(_resize(init))
         content = np.asarray(_resize(content))
 
-        z = self._encode_z(self.vq_params, jnp.asarray(init))
-        content_embed = self.embed_image(content)
+        # z encode, content-cutout embed and Adam init all happen INSIDE the
+        # first runner call (lax.cond prologue) — no separate encode_z /
+        # embed_cutouts executables on this path.  Only placeholder buffers
+        # with the right shapes are built here, on the host.
+        zc = int(self.z_min.shape[-1])
+        z_shape = (1, side_y // self.res, side_x // self.res, zc)
+        embed_key = self._next_key()  # same key-stream slot embed_image(content) used
         if target_embeds is None:
             target_embeds = self.style_targets(styles, content_text, style_text)
         from_embed, to_embed, style_embeds = target_embeds
@@ -254,15 +285,29 @@ class ClipVQGANEngine:
 
         if mask is not None:
             mask = np.asarray(
-                on_host(lambda a: resize_bilinear(jnp.asarray(a, jnp.float32), size=(z.shape[1], z.shape[2])))(mask)
+                on_host(lambda a: resize_bilinear(jnp.asarray(a, jnp.float32), size=(z_shape[1], z_shape[2])))(mask)
             )
             mask_arr = jnp.asarray(mask)
         else:
             mask_arr = jnp.ones((), jnp.float32)
 
-        if self._jit_opt_init is None:
-            self._jit_opt_init = jax.jit(self._opt.init)
-        opt_state = self._jit_opt_init(z)
+        zeros_like_shapes = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+            lambda s: np.zeros(s.shape, s.dtype), tree
+        )
+        z_sds = jax.ShapeDtypeStruct(z_shape, jnp.float32)
+        z = np.zeros(z_shape, np.float32)
+        opt_state = zeros_like_shapes(jax.eval_shape(self._opt.init, z_sds))
+        content_embed = zeros_like_shapes(
+            jax.eval_shape(
+                self._embed_cutouts_fn,
+                jax.tree_util.tree_map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.clip.params),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+                jax.ShapeDtypeStruct(content.shape, jnp.float32),
+            )
+        )
+        init01 = jnp.asarray(init, jnp.float32)
+        content01 = jnp.asarray(content, jnp.float32)
+        first = True
         out = None
         losses_log = []
         done = 0
@@ -274,12 +319,14 @@ class ClipVQGANEngine:
                 content_weight, style_weight, text_weight,
             )
             keys = jax.random.split(self._next_key(), n)
-            z, opt_state, log, out = runner(
-                self.vq_params, self.clip.params, z, opt_state, keys, mask_arr,
-                content_embed, from_embed if from_embed is not None else jnp.zeros((1, 1)),
+            z, opt_state, log, out, content_embed = runner(
+                self.vq_params, self.clip.params, np.bool_(first), init01, content01, z, opt_state,
+                keys, mask_arr, content_embed,
+                from_embed if from_embed is not None else jnp.zeros((1, 1)),
                 to_embed if to_embed is not None else jnp.zeros((1, 1)), style_embeds,
-                self.z_min, self.z_max,
+                embed_key, self.z_min, self.z_max,
             )
+            first = False
             losses_log.append(np.asarray(log))
             done += n
             if save_callback is not None and done < iterations:

@@ -113,13 +113,16 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
 
 
 def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1,
-                         compute_dtype: str = "bfloat16") -> int:
+                         compute_dtype: str = "bfloat16", topology=None,
+                         fast: bool = True) -> int:
     """Compile the actual jitted step at this size and read XLA's memory
     analysis (argument + output + temp).  With ``devices`` > 1 the step is
     GSPMD-compiled over a "space" mesh (spatially sharded pastiche) and the
-    analysis reports the per-chip footprint — run under a virtual CPU mesh
-    (XLA_FLAGS=--xla_force_host_platform_device_count=N) to emit n-chip
-    tables without n real chips."""
+    analysis reports the per-chip footprint.  ``topology`` (a
+    jax.experimental.topologies description) AOT-targets a real TPU topology
+    without owning the chips — the preferred way to emit n-chip tables;
+    the fallback is a virtual CPU mesh
+    (XLA_FLAGS=--xla_force_host_platform_device_count=N)."""
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +130,16 @@ def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1
     from ..models import select_model, init_params
 
     sharding = None
-    if devices > 1:
+    if topology is not None:
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        topo_devices = list(topology.devices)
+        if len(topo_devices) < devices:
+            raise RuntimeError(f"topology has {len(topo_devices)} devices, need {devices}")
+        mesh = Mesh(_np.asarray(topo_devices[:devices]).reshape(devices), ("space",))
+        sharding = NamedSharding(mesh, P(None, "space") if devices > 1 else P())
+    elif devices > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..parallel import build_mesh
@@ -167,7 +179,10 @@ def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1
     opt_state = jax.eval_shape(opt.init, pastiche)
     runner = engine._runner(10, (), False)
     lowered = runner.lower(abstract(params), pastiche, opt_state, targets, sds((1, 1, 1, 1), jnp.float32))
-    compiled = lowered.compile()
+    # minimal scheduling effort compiles ~7x faster; the buffer-assignment
+    # footprint it reports is within ~2% of (and slightly above, i.e.
+    # conservative vs) the default-effort compile at 1024² on v5e
+    compiled = lowered.compile({"exec_time_optimization_effort": -1.0} if fast else None)
     mem = compiled.memory_analysis()
     if mem is None:
         raise RuntimeError("backend does not expose memory analysis")
@@ -191,58 +206,97 @@ def probe_max_sizes(
     devices: int = 1,
     compute_dtype: str = "bfloat16",
     seed_table: dict | None = None,
+    topology=None,
+    topology_name: str | None = None,
 ) -> dict:
     """Build the capacity table (reference max-sizes.py:59-111); ``devices``
     probes the spatially-sharded step over an n-chip mesh (the analogue of
-    the reference's 2-GPU columns, config/max-sizes-2x11GB.json:62-121)."""
+    the reference's 2-GPU columns, config/max-sizes-2x11GB.json:62-121).
+    ``topology`` AOT-targets a TPU topology for the analysis compiles.
+
+    The boundary search interpolates on the MEASURED footprint rather than
+    bisecting on fit/no-fit: bytes(s) is nearly affine in s², so a
+    quadratic model through the best fitting and smallest failing probes
+    lands within a rung or two of the x32 boundary — ~3-4 compiles per
+    combo instead of ~7 (analysis compiles cost ~25-60 s each).  TPU AOT
+    compiles abort outright when buffer assignment exceeds HBM; the error
+    text still carries the attempted footprint ("Used 16.59G of 15.75G"),
+    which the search parses and uses as a model point."""
+    import re
+
     budget = budget_bytes if budget_bytes is not None else hbm_bytes()
 
-    def measure(model, optimizer, size):
-        fn = estimate_step_bytes if method == "estimate" else _compiled_step_bytes
-        return fn(model, optimizer, size, devices=devices, compute_dtype=compute_dtype)
+    def probe_bytes(model, optimizer, size):
+        """Footprint at ``size`` in bytes, or None if the probe failed
+        without reporting one (counts as over budget)."""
+        try:
+            if method == "estimate":
+                return estimate_step_bytes(model, optimizer, size, devices=devices, compute_dtype=compute_dtype)
+            return _compiled_step_bytes(model, optimizer, size, devices=devices,
+                                        compute_dtype=compute_dtype, topology=topology)
+        except Exception as e:  # compile-level OOM counts as failure
+            m = re.search(r"Used ([0-9.]+)([GMK]) of", str(e))
+            if m:
+                unit = {"G": 1024 ** 3, "M": 1024 ** 2, "K": 1024}[m.group(2)]
+                return int(float(m.group(1)) * unit)
+            if verbose:
+                print(f"{model}+{optimizer}@{size}: probe error {str(e)[:200]}")
+            return None
 
     table: dict[str, dict] = {}
     prev_safe = start_size
     for model in models:
         for optimizer in optimizers:
             seed = (seed_table or {}).get(f"{model},{optimizer},{devices}", {}).get("safe_max_size")
-            # seeding from a previous table's safe size cuts the sqrt(2)
-            # ladder to a couple of probes per combo (analysis compiles are
-            # ~30-60 s each)
             size = _round32(seed) if seed else max(_round32(prev_safe / math.sqrt(2)), 256)
-            safe, true = None, None
-            while size < 16384:
-                try:
-                    needed = measure(model, optimizer, size)
-                except Exception as e:  # compile-level OOM counts as failure
-                    if verbose:
-                        print(f"{model}+{optimizer}@{size}: probe error {e}")
-                    needed = budget + 1
-                if needed <= budget:
-                    safe = size
-                    size = _round32(size * math.sqrt(2))
+            size = max(size, 64)
+            fit = None   # (size, bytes) — largest size measured under budget
+            fail = None  # (size, bytes|None) — smallest size measured over
+            probed: set[int] = set()
+            for _ in range(24):  # hard cap; typical combo needs 3-4 probes
+                probed.add(size)
+                b = probe_bytes(model, optimizer, size)
+                if verbose and method != "estimate":
+                    gib = f"{b / 1024 ** 3:.2f} GiB" if b is not None else "?"
+                    print(f"  {model}+{optimizer}@{size}: {gib}", flush=True)
+                if b is not None and b <= budget:
+                    if fit is None or size > fit[0]:
+                        fit = (size, b)
                 else:
-                    true = size
+                    if fail is None or size < fail[0]:
+                        fail = (size, b)
+                # converged: bracket is x32-tight
+                if fit and fail and fail[0] - fit[0] <= 32:
                     break
-            # first candidate already over budget: walk down to find a fit
-            while safe is None and true is not None and true > 64:
-                size = max(_round32(true / math.sqrt(2)), 32)
-                if measure(model, optimizer, size) <= budget:
-                    safe = size
-                else:
-                    true = size
-            # refine between safe and true at x32 granularity (bisection)
-            if safe is not None and true is not None:
-                lo, hi = safe, true
-                while hi - lo > 32:
-                    mid = _round32((lo + hi) / 2)
-                    if mid in (lo, hi):
+                # choose the next candidate
+                if fit is None:
+                    if fail[0] <= 64:
                         break
-                    if measure(model, optimizer, mid) <= budget:
-                        lo = mid
+                    size = max(_round32(fail[0] / math.sqrt(2)), 32)
+                elif fail is None:
+                    s1, b1 = fit
+                    pred = s1 * math.sqrt(budget / max(b1, 1))
+                    size = max(min(_round32(pred), 16352), s1 + 32)
+                    if s1 >= 16320:
+                        break  # effectively unbounded
+                else:
+                    (s1, b1), (s2, b2) = fit, fail
+                    if b2 is not None and s2 * s2 > s1 * s1:
+                        alpha = (b2 - b1) / (s2 * s2 - s1 * s1)
+                        beta = b1 - alpha * s1 * s1
+                        val = (budget * 0.999 - beta) / alpha if alpha > 0 else -1.0
+                        size = _round32(math.sqrt(val)) if val > 0 else _round32((s1 + s2) / 2)
                     else:
-                        hi = mid
-                safe, true = lo, hi
+                        size = _round32((s1 + s2) / 2)
+                    size = min(max(size, s1 + 32), s2 - 32)
+                if size in probed:  # model stalled on a probed rung: bisect
+                    if fit and fail:
+                        size = _round32((fit[0] + fail[0]) / 2)
+                        size = min(max(size, fit[0] + 32), fail[0] - 32)
+                    if size in probed:
+                        break
+            safe = fit[0] if fit else None
+            true = fail[0] if fail else None
             key = f"{model},{optimizer},{devices}"
             table[key] = {
                 "model": model,
@@ -253,6 +307,7 @@ def probe_max_sizes(
                 "budget_gb": round(budget / 1024 ** 3, 2),
                 "method": method,
                 "compute_dtype": compute_dtype,
+                **({"topology": topology_name} if topology_name else {}),
             }
             if verbose:
                 print(f"{key}: safe {safe} / true {true}")
@@ -283,6 +338,9 @@ def main(argv=None):
                     "L-BFGS histories in bf16, matching the engine)")
     ap.add_argument("--seed_from", default=None,
                     help="existing table JSON whose safe sizes seed the probe ladder")
+    ap.add_argument("--topology", default=None,
+                    help="AOT TPU topology for analysis compiles (e.g. 'v5e:2x2'), so "
+                    "n-chip tables carry real TPU layouts without owning n chips")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -290,6 +348,12 @@ def main(argv=None):
     if args.seed_from and os.path.exists(args.seed_from):
         with open(args.seed_from) as f:
             seed_table = json.load(f)
+
+    topology = None
+    if args.topology:
+        from jax.experimental import topologies
+
+        topology = topologies.get_topology_desc(args.topology, "tpu")
 
     budget = int(args.hbm_gb * 1024 ** 3) if args.hbm_gb else None
     table = probe_max_sizes(
@@ -300,6 +364,8 @@ def main(argv=None):
         budget_bytes=budget,
         compute_dtype=args.compute_dtype,
         seed_table=seed_table,
+        topology=topology,
+        topology_name=args.topology or None,
     )
     gb = round((budget or hbm_bytes()) / 1024 ** 3)
     out = args.out or f"configs/max-sizes-{gb}GB-{args.devices}chip.json"
