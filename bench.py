@@ -94,6 +94,66 @@ def measure_video_frames_per_min(n_small: int = 4, n_big: int = 12, size: int = 
     return (n_big - n_small) / max(t_big - t_small, 1e-9) * 60.0
 
 
+def measure_img_vid_mp_iters(
+    size: int = 256, n_frames: int = 12, gfw: int = 6, iters: int = 50, optimizer: str = "lbfgs"
+) -> dict:
+    """MP-it/s through the temporal Gram *window* path (img_vid / dynamic
+    textures, reference style.py:76-142 + optim.py:114-170).
+
+    Fixed schedule: a ``n_frames``-frame pastiche at ``size``² optimised in
+    circular ``gfw``-frame windows (ceil(T/gfw)+1 window runs, overlap-masked
+    grads) against a static+dynamic Gram target captured from an
+    ``n_frames``-frame style video.  Rate is the marginal slope between an
+    ``iters`` and a ``2*iters`` run (cancels the per-call style-video target
+    capture, compiles and tunnel transfers).  Megapixels count the EFFECTIVE
+    pastiche (T × size² per iteration, matching tools/bench_img_vid.py): the
+    wrap-around window re-covers the seam, so its frames are schedule
+    overhead, not extra throughput.
+    """
+    import jax.numpy as jnp
+
+    from maua_style_tpu.engine import StyleEngine
+    from maua_style_tpu.losses import LossConfig
+    from maua_style_tpu.models import select_model, init_params
+
+    spec = select_model("vgg19", "max")
+    params = init_params(spec, seed=0)
+    engine = StyleEngine(
+        spec, params, LossConfig(), optimizer=optimizer, learning_rate=1.0,
+        precision="default", compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(0)
+    content = rng.random((1, size, size, 3), np.float32) * 255 - 128
+    style_video = rng.random((n_frames, size, size, 3), np.float32) * 255 - 128
+
+    def fresh_init():
+        return rng.standard_normal((n_frames, size, size, 3)).astype(np.float32) * 0.001
+
+    def run(n):
+        return engine.optimize(
+            content, [style_video], fresh_init(), n,
+            transfer_type="img_vid", blend_weights=[1.0], gram_frame_window=gfw,
+        )
+
+    mp_per_iter = n_frames * size * size / 1e6
+    run(iters)
+    run(2 * iters)
+    rates = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run(iters)
+        t_n = time.perf_counter() - start
+        start = time.perf_counter()
+        run(2 * iters)
+        t_2n = time.perf_counter() - start
+        rates.append(mp_per_iter * iters / max(t_2n - t_n, 1e-9))
+    return {
+        "img_vid_mp_iters_per_sec": round(float(np.median(rates)), 3),
+        "img_vid_config": {"size": size, "frames": n_frames, "gram_frame_window": gfw,
+                           "optimizer": optimizer},
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -198,6 +258,10 @@ def main():
             result["video_vs_baseline"] = round(vfpm / REFERENCE_BASELINE_VIDEO_FRAMES_PER_MIN, 3)
         except Exception as e:  # noqa: BLE001
             result["video_error"] = f"{type(e).__name__}: {e}"[:200]
+    # third pipeline family (img_vid temporal Gram windows); opt-in to keep
+    # default driver runtime sane — the measured figure lives in PERF.md
+    if "--img-vid" in sys.argv:
+        result.update(measure_img_vid_mp_iters())
     print(json.dumps(result))
     return result
 

@@ -57,6 +57,7 @@ class StyleEngine:
         normalize_weights: bool = False,
         compute_dtype=jnp.float32,
         pastiche_sharding=None,
+        pack_stem: bool | None = None,
         verbose: bool = False,
     ):
         self.loss_cfg = loss_cfg
@@ -80,10 +81,21 @@ class StyleEngine:
         self._opt = None
         self._jit_opt_init = None
 
+        if pack_stem is None:
+            # packed block 1 is ~2x step speed single-chip, but its
+            # reshape/halo-concat structure defeats GSPMD's sharding
+            # propagation on a spatial mesh (block-1 buffers replicate per
+            # chip — measured 23.5 GiB/chip vs ~6 sharded at 5792²/8 chips),
+            # so multi-device engines default to the plain stem
+            pack_stem = not self._is_multi_device(pastiche_sharding)
+        self.pack_stem = pack_stem
+
         def extract(prm, x, layers):
             # pack_stem: block 1 runs space-to-depth-packed (exact same math,
             # ~2x step speedup at 1024²; see ops/packed_stem.py)
-            return apply_extractor(prm, x.astype(compute_dtype), self.spec, layers, self.precision, pack_stem=True)
+            return apply_extractor(
+                prm, x.astype(compute_dtype), self.spec, layers, self.precision, pack_stem=self.pack_stem
+            )
 
         self._extract = extract
         self._jit_content = jax.jit(lambda prm, c: capture_content_targets(partial(extract, prm), c, loss_cfg))
@@ -98,6 +110,13 @@ class StyleEngine:
             lambda prm, win, bw, gfw: capture_style_video_targets(partial(extract, prm), [win], [bw], loss_cfg, gfw),
             static_argnames=("gfw",),
         )
+
+    @staticmethod
+    def _is_multi_device(sharding) -> bool:
+        try:
+            return sharding is not None and len(sharding.device_set) > 1
+        except AttributeError:
+            return sharding is not None
 
     # -- target capture ----------------------------------------------------
 
