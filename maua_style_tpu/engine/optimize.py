@@ -85,7 +85,7 @@ class StyleEngine:
             # packed block 1 is ~2x step speed single-chip, but its
             # reshape/halo-concat structure defeats GSPMD's sharding
             # propagation on a spatial mesh (block-1 buffers replicate per
-            # chip — measured 23.5 GiB/chip vs ~6 sharded at 5792²/8 chips),
+            # chip — measured 23.5 GiB/chip (OOM) vs 8.7 sharded at 5792²/8 chips),
             # so multi-device engines default to the plain stem
             pack_stem = not self._is_multi_device(pastiche_sharding)
         self.pack_stem = pack_stem

@@ -140,7 +140,7 @@ def test_tensor_axis_sharding_matches_single_device():
 
 def test_pack_stem_defaults_off_for_multi_device():
     """Packed block-1 replicates per chip under GSPMD spatial sharding
-    (measured 23.5 GiB/chip vs ~6 at 5792²/8 devices), so the engine defaults
+    (measured 23.5 GiB/chip (OOM) vs 8.7 at 5792²/8 devices), so the engine defaults
     it off exactly when the pastiche sharding spans >1 device."""
     cfg = LossConfig(content_layers=("relu2_2",), style_layers=("relu1_1",))
     spec = select_model("vgg16", "max")
