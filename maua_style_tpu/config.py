@@ -197,6 +197,11 @@ def postprocess(args) -> argparse.Namespace:
     args.normalize_gradients = not args.no_grad_norm
     args.match_histograms = not args.no_hist_match
 
+    if getattr(args, "allow_random_weights", False):
+        # propagate to the env-var policy so loaders constructed without an
+        # args handle (CLIP / VQGAN engines) see the same opt-out
+        os.environ["MAUA_ALLOW_RANDOM_WEIGHTS"] = "1"
+
     args.image_sizes = [int(s) for s in str(args.image_sizes).split(",")] if not isinstance(args.image_sizes, list) else args.image_sizes
     args.num_iters = [int(s) for s in str(args.num_iters).split(",")] if not isinstance(args.num_iters, list) else args.num_iters
     assert len(args.image_sizes) == len(

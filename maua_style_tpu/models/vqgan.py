@@ -373,15 +373,23 @@ def convert_vqgan_state_dict(sd, cfg: VQGANConfig) -> dict:
     }
 
 
-def load_vqgan(model_dir: str, seed: int = 0) -> tuple[dict, VQGANConfig]:
+def load_vqgan(
+    model_dir: str, seed: int = 0, allow_random: bool | None = None
+) -> tuple[dict, VQGANConfig]:
     """Resolve a preset name or checkpoint dir -> (params, config)
-    (reference clip_vqgan.py:160-219 without the downloads: no egress here)."""
+    (reference clip_vqgan.py:160-219 without the downloads: no egress here).
+
+    A missing preset checkpoint is an ERROR (random codebook/decoder render
+    noise; the reference downloads or fails, clip_vqgan.py:160-201) unless
+    ``allow_random`` / the ``MAUA_ALLOW_RANDOM_WEIGHTS`` env var opts into
+    deterministic random init."""
     import glob
     import os
 
     if model_dir in PRESETS:
         cfg = PRESETS[model_dir]
-        for cand in (f"modelzoo/vqgan_{model_dir}.npz", f"modelzoo/{model_dir}.ckpt"):
+        candidates = (f"modelzoo/vqgan_{model_dir}.npz", f"modelzoo/{model_dir}.ckpt")
+        for cand in candidates:
             if os.path.exists(cand):
                 if cand.endswith(".npz"):
                     from .clip.convert import load_clip_npz
@@ -392,6 +400,15 @@ def load_vqgan(model_dir: str, seed: int = 0) -> tuple[dict, VQGANConfig]:
                 sd = torch.load(cand, map_location="cpu", weights_only=False)
                 sd = sd.get("state_dict", sd)
                 return convert_vqgan_state_dict(sd, cfg), cfg
+        from .registry import allow_random_weights
+
+        if not allow_random_weights(allow_random):
+            raise FileNotFoundError(
+                f"No VQGAN checkpoint for preset '{model_dir}' (searched {list(candidates)}).\n"
+                f"Place the taming-transformers .ckpt at modelzoo/{model_dir}.ckpt (it is\n"
+                f"converted on load), or pass --allow_random_weights to run with\n"
+                f"deterministic random weights (outputs will be noise; for tests/smoke only)."
+            )
         print(f"Warning: no VQGAN checkpoint for '{model_dir}'; using deterministic random init.")
         return init_vqgan_params(cfg, seed), cfg
     ckpts = sorted(glob.glob(model_dir + "/*.ckpt"), reverse=True)

@@ -46,16 +46,33 @@ def size_to_fit(size, max_dim, scale_up=False):
     return new_w, new_h
 
 
+def _missing_clip_checkpoint(candidates) -> None:
+    """Missing CLIP weights are an ERROR by default (random CLIP guidance is
+    meaningless); --allow_random_weights / MAUA_ALLOW_RANDOM_WEIGHTS opts out."""
+    from ..models.registry import allow_random_weights
+
+    if not allow_random_weights(None):
+        raise FileNotFoundError(
+            f"No CLIP checkpoint (searched {list(candidates)}).\n"
+            f"Convert the OpenAI .pt once with:\n"
+            f"    python -m maua_style_tpu.models.clip.convert <clip.pt> {candidates[0]}\n"
+            f"or pass --allow_random_weights to run with deterministic random "
+            f"weights (outputs will be meaningless; for tests/smoke only)."
+        )
+
+
 def _load_clip(clip_backbone: str):
     from ..models.clip.resnet import RESNET_CONFIGS, CLIPResNet
 
     if clip_backbone in RESNET_CONFIGS:
         slug = clip_backbone.lower()
-        for cand in (f"modelzoo/clip_{slug}.npz",):
+        candidates = (f"modelzoo/clip_{slug}.npz",)
+        for cand in candidates:
             if os.path.exists(cand):
                 from ..models.clip.convert import load_clip_npz
 
                 return CLIPResNet(clip_backbone, load_clip_npz(cand))
+        _missing_clip_checkpoint(candidates)
         print(f"Warning: no CLIP checkpoint (modelzoo/clip_{slug}.npz); using deterministic random init.")
         return CLIPResNet(clip_backbone)
     if clip_backbone != "ViT-B/32":
@@ -63,11 +80,13 @@ def _load_clip(clip_backbone: str):
             f"CLIP backbone {clip_backbone!r} not implemented in the JAX port yet; "
             "use ViT-B/32, RN50, RN101, or RN50x4"
         )
-    for cand in ("modelzoo/clip_vitb32.npz", "modelzoo/clip-vit-b-32.npz"):
+    candidates = ("modelzoo/clip_vitb32.npz", "modelzoo/clip-vit-b-32.npz")
+    for cand in candidates:
         if os.path.exists(cand):
             from ..models.clip.convert import load_clip_npz
 
             return CLIP(load_clip_npz(cand))
+    _missing_clip_checkpoint(candidates)
     print("Warning: no CLIP checkpoint (modelzoo/clip_vitb32.npz); using deterministic random init.")
     return CLIP()
 
@@ -385,8 +404,13 @@ def main(argv=None):
     parser.add_argument("--force_square", action="store_true")
     parser.add_argument("--iterations", default=500, type=int)
     parser.add_argument("--seed", default=-1, type=int)
+    parser.add_argument("--allow_random_weights", action="store_true",
+                        help="proceed with deterministic random weights when checkpoints are missing")
     # fmt: on
     args = parser.parse_args(argv)
+
+    if args.allow_random_weights:
+        os.environ["MAUA_ALLOW_RANDOM_WEIGHTS"] = "1"
 
     if args.seed >= 0:
         np.random.seed(args.seed)

@@ -290,3 +290,35 @@ def test_engine_with_resnet_backbone(monkeypatch):
     init = np.random.rand(1, 34, 34, 3).astype(np.float32)
     out = engine.optimize(init, init.copy(), None, None, None, "a style", iterations=2)
     assert out.shape[0] == 1 and np.isfinite(out).all()
+
+
+def test_missing_vqgan_checkpoint_fails_loud(monkeypatch, tmp_path):
+    """Missing VQGAN/CLIP checkpoints are errors naming the fix, same policy
+    as feature/flow nets (VERDICT r2 #5); the env var / flag opts out."""
+    import pytest
+
+    import maua_style_tpu.pipelines.clip_vqgan as cv
+    from maua_style_tpu.models import vqgan as vq
+
+    monkeypatch.delenv("MAUA_ALLOW_RANDOM_WEIGHTS", raising=False)
+    monkeypatch.chdir(tmp_path)  # no modelzoo/ here
+    with pytest.raises(FileNotFoundError, match="allow_random_weights"):
+        vq.load_vqgan("imagenet_16384")
+    params, cfg = vq.load_vqgan("imagenet_16384", allow_random=True)
+    assert "codebook" in params
+
+    with pytest.raises(FileNotFoundError, match="models.clip.convert"):
+        cv._load_clip("ViT-B/32")
+    monkeypatch.setenv("MAUA_ALLOW_RANDOM_WEIGHTS", "1")
+    assert cv._load_clip("ViT-B/32") is not None
+
+
+def test_cli_flag_propagates_random_weight_policy(monkeypatch):
+    """--allow_random_weights in the shared config surface reaches the
+    env-var policy the CLIP/VQGAN loaders consult."""
+    from maua_style_tpu import config
+    from maua_style_tpu.models.registry import allow_random_weights
+
+    monkeypatch.delenv("MAUA_ALLOW_RANDOM_WEIGHTS", raising=False)
+    config.get_args(["--content", "x.png", "--style", "y.png", "--allow_random_weights"])
+    assert allow_random_weights(None)
