@@ -16,8 +16,10 @@ Usage: python -m maua_style_tpu.pipelines.nca_train style.png out_dir/
 
 from __future__ import annotations
 
+import math
 import os
 import sys
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -101,8 +103,7 @@ def train(
         grams = [g.mean(axis=0) for g in grams]  # batch-averaged (NCA_train.py:229)
         return style_loss(grams, target_grams), x
 
-    @jax.jit
-    def train_step(params, opt_state, pool, key, i):
+    def step_body(params, opt_state, pool, key, i):
         k_batch, k_loss = jax.random.split(key)
         batch_idx = jax.random.choice(k_batch, pool_size, (batch_size,), replace=False)
         x = pool[batch_idx]
@@ -117,20 +118,46 @@ def train(
         pool = pool.at[batch_idx].set(x_out)
         return params, opt_state, pool, loss, x_out
 
+    @partial(jax.jit, static_argnames=("length",))
+    def train_chunk(params, opt_state, pool, rng, i0, length):
+        # many steps per device call: the per-step loop (reference
+        # NCA_train.py:208-238) syncs a python float(loss) every iteration —
+        # a host round trip per step on a tunneled TPU.  The scan carries the
+        # rng and splits in-graph (identical threefry stream to the host
+        # loop), so results are bit-for-bit the per-step version's.
+        x0 = jnp.zeros((batch_size, grid_size, grid_size, chn), jnp.float32)
+
+        def body(carry, t):
+            params, opt_state, pool, rng, _ = carry
+            rng, sub = jax.random.split(rng)
+            params, opt_state, pool, loss, x_out = step_body(params, opt_state, pool, sub, i0 + t)
+            return (params, opt_state, pool, rng, x_out), loss
+
+        (params, opt_state, pool, rng, x_out), losses = jax.lax.scan(
+            body, (params, opt_state, pool, rng, x0), jnp.arange(length)
+        )
+        return params, opt_state, pool, rng, losses, x_out
+
     rng = jax.random.PRNGKey(seed)
-    loss_log = []
+    loss_log: list[float] = []
     stem = name(style_file)
-    for i in range(n_steps):
-        rng, sub = jax.random.split(rng)
-        ca_params, opt_state, pool, loss, x_out = train_step(ca_params, opt_state, pool, sub, i)
-        loss_log.append(float(loss))
-        if log_every and i % log_every == 0:
+    boundaries = [v for v in (log_every, save_every) if v]
+    chunk = math.gcd(*boundaries) if boundaries else n_steps
+    done = 0
+    while done < n_steps:
+        this = min(chunk, n_steps - done)
+        ca_params, opt_state, pool, rng, losses, x_out = train_chunk(
+            ca_params, opt_state, pool, rng, done, this
+        )
+        done += this
+        loss_log.extend(np.asarray(losses, np.float64).tolist())
+        if log_every and (done % log_every == 0 or done == n_steps):
             recent = loss_log[-200:]
             print(
                 f"\rstep_n: {len(loss_log):5d}  loss: [{np.min(recent):.3f}, {np.mean(recent):.3f}, "
-                f"{np.max(recent):.3f}]    lr: {float(schedule(i)):g}"
+                f"{np.max(recent):.3f}]    lr: {float(schedule(done - 1)):g}"
             )
-        if save_every and len(loss_log) % save_every == 0:
+        if save_every and done % save_every == 0:
             nca.save_ca(ca_params, f"{out_dir}/{stem}_{len(loss_log)}.npz")
             imgs = np.clip(np.asarray(nca.to_rgb(x_out)), 0, 1)
             grid = np.hstack(list(imgs))
