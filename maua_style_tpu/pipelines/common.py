@@ -11,7 +11,7 @@ from ..config import set_model_args
 from ..engine import StyleEngine
 from ..losses import LossConfig
 from ..models import load_params, select_model
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear_np
 from ..parallel import pastiche_sharding_for
 
 
@@ -63,7 +63,9 @@ def scale_styles(style_images: list[np.ndarray], content_shape, style_scale: flo
     out = []
     for img in style_images:
         factor = math.sqrt(content_area / (img.shape[1] * img.shape[2])) * style_scale
-        out.append(np.asarray(resize_bilinear(jnp.asarray(img), scale_factor=factor)))
+        # host path: this is once-per-scale IO prep, and eager device ops
+        # through a tunneled TPU cost whole compile/load round trips each
+        out.append(resize_bilinear_np(np.asarray(img), scale_factor=factor))
     return out
 
 
