@@ -10,12 +10,11 @@ from __future__ import annotations
 
 import os
 
-import jax.numpy as jnp
 import numpy as np
 
 from .. import io as mio
 from ..ops.histogram import match_histogram
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear_np
 from .common import build_engine, scale_styles
 
 
@@ -36,16 +35,16 @@ def img_img(args) -> np.ndarray | None:
             continue
 
         content_scale = current_size / max(*content_size)
-        content_image = np.asarray(resize_bilinear(jnp.asarray(content_image_big), scale_factor=content_scale))
+        content_image = resize_bilinear_np(content_image_big, scale_factor=content_scale)
         style_images = scale_styles(style_images_big, content_image.shape, args.style_scale)
 
         h, w = content_image.shape[1:3]
         if args.init == "random" and pastiche is None:
             pastiche = np.random.randn(1, h, w, 3).astype(np.float32) * 0.001
         elif args.init == "content" and pastiche is None:
-            pastiche = np.asarray(resize_bilinear(jnp.asarray(content_image_big), size=(h, w)))
+            pastiche = resize_bilinear_np(content_image_big, size=(h, w))
         else:
-            pastiche = np.asarray(resize_bilinear(jnp.asarray(pastiche), size=(h, w)))
+            pastiche = resize_bilinear_np(np.asarray(pastiche), size=(h, w))
         pastiche = match_histogram(pastiche, style_images_big, mode=args.match_histograms)
 
         engine = build_engine(args, current_size)
