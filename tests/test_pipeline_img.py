@@ -143,3 +143,16 @@ def test_style_directory_weights_cover_all_images(tmp_path):
     assert len(images) == 3
     assert len(args.style_blend_weights) == 3
     np.testing.assert_allclose(sum(args.style_blend_weights), 1.0)
+
+
+def test_img_img_cli_mesh_end_to_end(tmp_path):
+    """--mesh space:2 wires args -> pastiche_sharding_for -> GSPMD engine
+    through the REAL CLI pipeline (the engine-level sharding parity lives in
+    test_parallel.py; this pins the config plumbing)."""
+    args = _tiny_args(tmp_path, extra=["--mesh", "space:2"])
+    args.devices = __import__("jax").devices()[:2]
+    os.makedirs(str(tmp_path / "out"), exist_ok=True)
+    img_img(args)
+    final = np.asarray(Image.open(f"{args.output}_24.png"))
+    assert final.shape == (24, 24, 3)
+    assert final.std() > 0  # optimisation ran (not a blank artifact)
