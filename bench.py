@@ -154,7 +154,35 @@ def measure_img_vid_mp_iters(
     }
 
 
+def _require_backend(timeout_s: float = 600.0) -> None:
+    """Fail fast with a JSON error line if device init hangs (a tunneled TPU
+    backend retries its connection forever when the tunnel is down; a bench
+    that never returns loses the whole artifact instead of explaining itself)."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+
+        jax.devices()
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(json.dumps({
+            "metric": "megapixel_iters_per_sec_per_chip_1024_gram",
+            "value": None,
+            "unit": "MP-iters/s/chip",
+            "error": f"device backend unavailable (init timed out after {timeout_s:.0f}s; tunnel down?)",
+        }))
+        sys.exit(1)
+
+
 def main():
+    _require_backend()
     import jax
     import jax.numpy as jnp
 
