@@ -105,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--passes_per_scale", type=int, default=4)
     parser.add_argument("--loop", action="store_true")
     parser.add_argument("--temporal_blend", type=float, default=0.5)
+    parser.add_argument("--frame_batch", type=int, default=0,
+                        help="vid_img: frames per device program when first-pass frames are "
+                             "independent (0 = HBM-guided auto, 1 = disable batching)")
     parser.add_argument("--fps", type=float, default=24)
 
     # video style settings
@@ -237,6 +240,15 @@ def setup_devices(args):
 
     gpu = str(getattr(args, "gpu", "0"))
     if "c" in gpu.lower():
+        # make CPU the DEFAULT platform, not just the mesh devices: otherwise
+        # the first eager jnp op still initializes the accelerator backend
+        # (reference --gpu c never touches CUDA, config.py:171-207; and a
+        # tunneled TPU backend hangs in init retries when unreachable)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backends already initialized (e.g. library use) — devices
+            # below still pin every jitted program to CPU
         devices = jax.devices("cpu")
         ids = [d for d in gpu.split(",") if d.strip().lower() != "c"]
         if ids:

@@ -274,17 +274,13 @@ class StyleEngine:
 
     # -- fused per-video-frame program ---------------------------------------
 
-    def _frame_runner(self, n_iters: int, fkey: tuple):
-        """One jitted program for a whole vid_img frame (reference
-        style.py:192-297 does this via ~6 host round trips): u8 preprocess +
-        resize, device histogram match, pastiche init (content / random /
-        warp_prev / blend), in-graph flow-warp temporal target, the
-        optimisation scan, output histogram match and u8 deprocess.  Only a
-        uint8 frame goes up and a uint8 image comes down per frame."""
-        key = ("frame", n_iters, fkey)
-        if key in self._runners:
-            return self._runners[key]
-
+    def _frame_program(self, n_iters: int, fkey: tuple, extract):
+        """Build the per-frame program body shared by the per-frame runner and
+        the batched (vmapped) runner: u8 preprocess + resize, device histogram
+        match, pastiche init (content / random / warp_prev / blend), in-graph
+        flow-warp temporal target, the optimisation scan, output histogram
+        match and u8 deprocess (reference style.py:192-297 does all of this
+        via ~6 host round trips per frame)."""
         from ..ops.frame_ops import (
             deprocess_to_u8,
             match_histogram_device,
@@ -298,7 +294,6 @@ class StyleEngine:
         opt = self._make_optimizer()
         scale = dict(scale_key)
         cfg = self.loss_cfg
-        extract = self._extract
 
         def run(prm, aux, style_targets, key):
             # scale_factor resampling keeps the host path's torch
@@ -358,8 +353,95 @@ class StyleEngine:
             out = match_histogram_device(p, aux["mu_s"], aux["qs"]) if hist else p
             return out, deprocess_to_u8(out), log
 
-        self._runners[key] = jax.jit(run)
+        return run
+
+    def _frame_runner(self, n_iters: int, fkey: tuple):
+        """One jitted program for a whole vid_img frame; only a uint8 frame
+        goes up and a uint8 image comes down per frame."""
+        key = ("frame", n_iters, fkey)
+        if key not in self._runners:
+            self._runners[key] = jax.jit(self._frame_program(n_iters, fkey, self._extract))
         return self._runners[key]
+
+    def _frames_batch_runner(self, n_iters: int, fkey: tuple, hist: bool):
+        """vmap of the per-frame program over a stacked frame batch.
+
+        First-pass vid_img frames with ``init`` content/random have no
+        temporal target and no chain dependence (reference style.py:219-231:
+        each frame inits from its own content / fresh noise) — they are
+        independent optimisations, so B of them run as ONE device program.
+        vmap keeps the semantics of B separate runs exactly: per-frame
+        histogram match, per-frame content targets, per-frame gradient
+        normalisation and a per-frame L-BFGS state (histories never couple
+        across frames).  Batch-B convolutions also use the MXU far better
+        than the batch-1 step, and a whole chunk costs one dispatch
+        round-trip instead of B (the big win through a tunneled chip)."""
+        key = ("frames_batch", n_iters, fkey)
+        if key not in self._runners:
+            # plain stem: batch-B convs don't need the batch-1 space-to-batch
+            # packing (and vmapping the packed reshapes just adds copies)
+            compute_dtype, spec, precision = self.compute_dtype, self.spec, self.precision
+
+            def extract_plain(prm, x, layers):
+                return apply_extractor(
+                    prm, x.astype(compute_dtype), spec, layers, precision, pack_stem=False
+                )
+
+            run = self._frame_program(n_iters, fkey, extract_plain)
+            aux_axes = {"content_u8": 0, **({"mu_s": None, "qs": None} if hist else {})}
+            self._runners[key] = jax.jit(jax.vmap(run, in_axes=(None, aux_axes, None, 0)))
+        return self._runners[key]
+
+    def optimize_frames(
+        self,
+        contents_u8,
+        styles: Sequence,
+        num_iters: int,
+        *,
+        out_hw: tuple[int, int],
+        content_scale: float | None = None,
+        blend_weights: Sequence[float] | None = None,
+        init_mode: str = "content",
+        hist_stats=None,
+        seeds: Sequence[int] | None = None,
+    ):
+        """Optimise a batch of INDEPENDENT video frames in one device program
+        (see _frames_batch_runner).  ``contents_u8``: (B, H, W, 3) uint8.
+        Returns (pastiches (B, 1, h, w, 3) f32, displays (B, h, w, 3) u8),
+        both device arrays.  Only valid for chain-free init modes."""
+        assert init_mode in ("content", "random"), init_mode
+        contents_u8 = jnp.asarray(contents_u8)
+        assert contents_u8.ndim == 4, contents_u8.shape
+        batch = contents_u8.shape[0]
+        blend_weights = (
+            list(blend_weights) if blend_weights is not None else [1.0 / max(len(styles), 1)] * len(styles)
+        )
+        aux: dict[str, Any] = {"content_u8": contents_u8}
+        if hist_stats is not None:
+            aux["mu_s"] = jnp.asarray(hist_stats[0])
+            aux["qs"] = jnp.asarray(hist_stats[1])
+        style_targets = {"style": self.style_targets(styles, blend_weights)}
+        scale_key = (
+            self._strength_scale({"content_img": np.zeros((1, *out_hw, 3), np.float32), **style_targets})
+            if self.normalize_weights
+            else ()
+        )
+        fkey = (
+            tuple(out_hw),
+            None if content_scale is None else float(content_scale),
+            init_mode,
+            False,
+            hist_stats is not None,
+            1.0,
+            scale_key,
+        )
+        runner = self._frames_batch_runner(int(num_iters), fkey, hist_stats is not None)
+        if seeds is None:
+            seeds = range(batch)
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        pastiches, displays, log = runner(self.params, aux, style_targets, keys)
+        self.last_loss_log = log
+        return pastiches, displays
 
     def prep_frame(self, content_u8, out_hw: tuple[int, int], hist_stats=None):
         """Preprocess (+histogram-match) one u8 frame on device — seeds the

@@ -150,6 +150,26 @@ def run_video_style_passes(
                     frames = list(reversed(frames))
                     continue
 
+                # first-ever pass with a chain-free init: frames are
+                # INDEPENDENT (reference style.py:219-231 — no temporal
+                # target, init from own content / fresh noise), so optimize
+                # them as stacked batches: one device program per chunk
+                if (
+                    device_chain
+                    and size_n == 0
+                    and pass_n == 0
+                    and args.init != "prev_warp"
+                    and getattr(args, "frame_batch", 0) != 1
+                ):
+                    _device_first_pass_batched(
+                        args, get_engine(), style_images, get_hist_stats(), out_hw,
+                        content_scale, output_dir, current_size, pass_n, frames,
+                        num_iters, saver,
+                    )
+                    frames = list(reversed(frames))
+                    saver.drain()
+                    continue
+
                 frame_pairs = zip(
                     frames + frames[: 11 if args.loop else 1],
                     frames[1:] + frames[: 10 if args.loop else 1],
@@ -244,6 +264,64 @@ def run_video_style_passes(
             prev_size = current_size
     finally:
         saver.close()
+
+
+def _auto_frame_batch(out_hw: tuple[int, int], requested: int) -> int:
+    """Frames per batched program: the requested --frame_batch, or an
+    HBM-guided default (~8 frames' worth of 512² L-BFGS state), rounded down
+    to a power of two so chunk shapes (and compiles) stay few."""
+    b = requested if requested and requested > 0 else max(1, (8 * 512 * 512) // (out_hw[0] * out_hw[1]))
+    b = min(b, 8)
+    return 1 << (b.bit_length() - 1)
+
+
+def _device_first_pass_batched(
+    args, engine, style_images, hist_stats, out_hw, content_scale,
+    output_dir, current_size, pass_n, frames, num_iters, saver,
+):
+    """Optimize every unrendered frame of the first pass as stacked batches
+    through ONE device program per chunk (engine.optimize_frames).  Exactly
+    reproduces the per-frame path: frames here share no state (see the
+    batched-runner docstring), and per-frame random-init seeds match the
+    sequential loop's ``seed + n``."""
+    n_frames = len(frames)
+    this_frames = frames[1:] + frames[: 10 if args.loop else 1]
+    todo: dict[str, tuple[int, str]] = {}
+    for n, this_frame in enumerate(this_frames):
+        out_path = f"{output_dir}/{current_size}/{pass_n + 1}_{name(this_frame)}.png"
+        if os.path.isfile(out_path) and not n >= n_frames:
+            continue
+        # --loop wrap re-optimizes early frames; keep only the LAST
+        # occurrence per artifact (sequential order would overwrite anyway,
+        # and concurrent PNG writes to one path would race)
+        todo[out_path] = (n, this_frame)
+
+    items = sorted(todo.items(), key=lambda kv: kv[1][0])
+    batch = _auto_frame_batch(out_hw, getattr(args, "frame_batch", 0))
+    iters = max(num_iters // args.passes_per_scale, 1)
+    seed0 = int(getattr(args, "seed", 0) or 0)
+    init_mode = "random" if args.init == "random" else "content"
+
+    pos = 0
+    while pos < len(items):
+        chunk_size = min(batch, len(items) - pos)
+        chunk_size = 1 << (chunk_size.bit_length() - 1)  # power-of-two shapes
+        chunk = items[pos : pos + chunk_size]
+        pos += chunk_size
+        names = ", ".join(name(tf) for _, (_, tf) in chunk)
+        print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frames: {names}")
+        stack = np.stack([mio.load_u8(tf) for _, (_, tf) in chunk])
+        _, displays = engine.optimize_frames(
+            stack, style_images, iters,
+            out_hw=out_hw,
+            content_scale=content_scale,
+            blend_weights=args.style_blend_weights,
+            init_mode=init_mode,
+            hist_stats=hist_stats,
+            seeds=[seed0 + n for _, (n, _) in chunk],
+        )
+        for i, (out_path, _) in enumerate(chunk):
+            saver.submit(displays[i], out_path)
 
 
 def _device_frame(

@@ -212,3 +212,48 @@ def test_mixed_image_video_styles_img_vid():
         transfer_type="img_vid", blend_weights=[0.5, 0.5], gram_frame_window=4, avg_frame_window=-1,
     )
     assert out.shape == init.shape and np.isfinite(out).all()
+
+
+def test_optimize_frames_batch_matches_per_frame():
+    """The vmapped frame-batch runner reproduces B independent per-frame
+    optimisations exactly (per-frame L-BFGS state, grad normalisation,
+    histogram match and random-init seeds must not couple across frames)."""
+    from maua_style_tpu.ops.frame_ops import style_hist_stats
+
+    rng = np.random.default_rng(0)
+    style = rng.random((1, 20, 20, 3), np.float32) * 255 - 128
+    contents = rng.integers(0, 255, (2, 24, 24, 3)).astype(np.uint8)
+    hs = style_hist_stats(style, rng=np.random.default_rng(1))
+    out_hw = (20, 20)
+
+    for optimizer, init_mode, hist in [
+        ("lbfgs", "content", True),
+        ("adam", "random", False),
+    ]:
+        cfg, net, spec, params, _ = _small_setup(normalize=True, optimizer=optimizer)
+        # pack_stem=False on the per-frame side too: both paths then run the
+        # identical extract and the only difference left is the vmap batching
+        engine = StyleEngine(
+            spec, params, cfg, optimizer=optimizer,
+            learning_rate=0.1 if optimizer == "adam" else 1.0,
+            lbfgs_history=10, pack_stem=False,
+        )
+        singles = [
+            engine.optimize_frame(
+                contents[i], [style], 5, out_hw=out_hw, content_scale=None,
+                init_mode=init_mode, hist_stats=hs if hist else None, seed=i,
+                blend_weights=[1.0],
+            )
+            for i in range(2)
+        ]
+        pb, db = engine.optimize_frames(
+            contents, [style], 5, out_hw=out_hw, init_mode=init_mode,
+            hist_stats=hs if hist else None, seeds=range(2), blend_weights=[1.0],
+        )
+        for i in range(2):
+            p1, d1 = np.asarray(singles[i][0]), np.asarray(singles[i][1])
+            # residual diff = batched-conv reduction-order roundoff amplified
+            # through the L-BFGS curvature pairs (~2e-3 on +-150-range pixels);
+            # a cross-frame coupling bug would diverge to O(full scale)
+            assert np.abs(np.asarray(pb)[i] - p1).max() < 1e-2, (optimizer, init_mode)
+            assert np.abs(np.asarray(db)[i].astype(int) - d1.astype(int)).max() <= 1

@@ -239,3 +239,44 @@ def test_fused_frame_temporal_blend_matches_host():
         temporal_warp=(prev, wmap), temporal_weights=weights,
     )
     np.testing.assert_allclose(np.asarray(pastiche_dev), want, atol=0.05)
+
+
+def test_vid_img_frame_batch_matches_sequential(tmp_path):
+    """--frame_batch batching of independent first-pass frames produces the
+    same artifacts as the sequential per-frame path (chunks of 2+1 here)."""
+    from maua_style_tpu.pipelines import vid_img as vi
+
+    content = str(tmp_path / "vid.npy")
+    style = str(tmp_path / "style.png")
+    _make_video(content, t=3, size=24)
+    _make_image(style)
+
+    def argv(out, frame_batch):
+        return [
+            "--transfer_type", "vid_img",
+            "--content", content,
+            "--style", style,
+            "--output_dir", str(tmp_path / out),
+            "--image_sizes", "16",
+            "--num_iters", "4",
+            "--passes_per_scale", "1",
+            "--optimizer", "adam",
+            "--flow_models", "spynet",
+            "--init", "content",
+            "--gpu", "c",
+            "--scaling_args", str(tmp_path / "missing.json"),
+            "--seed", "0",
+            "--frame_batch", str(frame_batch),
+            "--allow_random_weights",
+        ]
+
+    vi.vid_img(config.get_args(argv("batched", 0)))
+    vi.vid_img(config.get_args(argv("seq", 1)))
+
+    batched = sorted(glob.glob(str(tmp_path / "batched" / "vid_style" / "16" / "1_*.png")))
+    seq = sorted(glob.glob(str(tmp_path / "seq" / "vid_style" / "16" / "1_*.png")))
+    assert len(batched) == len(seq) == 3
+    for b, s in zip(batched, seq):
+        ib = np.asarray(Image.open(b)).astype(int)
+        isq = np.asarray(Image.open(s)).astype(int)
+        assert np.abs(ib - isq).max() <= 1, (b, s)
