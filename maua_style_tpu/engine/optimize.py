@@ -392,6 +392,100 @@ class StyleEngine:
             self._runners[key] = jax.jit(jax.vmap(run, in_axes=(None, aux_axes, None, 0)))
         return self._runners[key]
 
+    def _frames_chain_runner(self, n_iters: int, fkey: tuple, aux_keys: tuple, shared_keys: tuple):
+        """lax.scan of the per-frame program over K sequentially-dependent
+        frames: the pastiche chains through as the scan carry (each frame's
+        temporal target / blend init reads the previous frame's result), while
+        per-frame inputs (content, blend artifact, flow, reliability) arrive
+        stacked.  One device program and one dispatch round-trip per chunk of
+        K frames instead of K (reference style.py:192-297 runs one host-driven
+        optimize per frame)."""
+        key = ("frames_chain", n_iters, fkey, aux_keys, shared_keys)
+        if key not in self._runners:
+            from ..ops.resize import resize_bilinear
+
+            run = self._frame_program(n_iters, fkey, self._extract)
+            out_hw = fkey[0]
+
+            def chain_run(prm, chain, stacked, shared, style_targets, keys):
+                # the scan carry must be shape-invariant: a chain seeded from a
+                # smaller scale's artifact is resized up front (the per-frame
+                # program would otherwise resize it only on the first frame)
+                if chain.shape[1:3] != tuple(out_hw):
+                    chain = resize_bilinear(chain, size=tuple(out_hw))
+
+                def body(carry, xs):
+                    aux_i, key_i = xs
+                    aux = dict(shared)
+                    aux.update(aux_i)
+                    aux["prev"] = carry
+                    out, disp, log = run(prm, aux, style_targets, key_i)
+                    return out, (disp, log)
+
+                chain, (disps, logs) = jax.lax.scan(body, chain, (stacked, keys))
+                return chain, disps, logs
+
+            self._runners[key] = jax.jit(chain_run)
+        return self._runners[key]
+
+    def optimize_frame_chain(
+        self,
+        chain,
+        stacked_aux: dict,
+        styles: Sequence,
+        num_iters: int,
+        *,
+        out_hw: tuple[int, int],
+        content_scale: float | None = None,
+        blend_weights: Sequence[float] | None = None,
+        init_mode: str = "blend",
+        use_temporal: bool = False,
+        temporal_blend: float = 1.0,
+        hist_stats=None,
+        seeds: Sequence[int] | None = None,
+    ):
+        """Optimise K chained video frames in one device program (see
+        _frames_chain_runner).  ``chain``: the (1, h, w, 3) pastiche feeding
+        frame 0 (resized in-graph if from a smaller scale).  ``stacked_aux``:
+        per-frame arrays with leading dim K ("content_u8" required; "blend",
+        "flow", "weights_u8" per mode).  Returns (chain, displays (K, h, w, 3)
+        u8), both device arrays."""
+        assert init_mode in ("blend", "warp_prev"), init_mode
+        k_frames = int(np.shape(stacked_aux["content_u8"])[0])
+        blend_weights = (
+            list(blend_weights) if blend_weights is not None else [1.0 / max(len(styles), 1)] * len(styles)
+        )
+        stacked = {k: jnp.asarray(v) for k, v in stacked_aux.items()}
+        shared: dict[str, Any] = {}
+        if hist_stats is not None:
+            shared["mu_s"] = jnp.asarray(hist_stats[0])
+            shared["qs"] = jnp.asarray(hist_stats[1])
+        style_targets = {"style": self.style_targets(styles, blend_weights)}
+        scale_key = (
+            self._strength_scale({"content_img": np.zeros((1, *out_hw, 3), np.float32), **style_targets})
+            if self.normalize_weights
+            else ()
+        )
+        fkey = (
+            tuple(out_hw),
+            None if content_scale is None else float(content_scale),
+            init_mode,
+            bool(use_temporal),
+            hist_stats is not None,
+            float(temporal_blend),
+            scale_key,
+        )
+        runner = self._frames_chain_runner(
+            int(num_iters), fkey, tuple(sorted(stacked)), tuple(sorted(shared))
+        )
+        if seeds is None:
+            seeds = range(k_frames)
+        keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+        chain = chain if isinstance(chain, jax.Array) else jnp.asarray(chain, jnp.float32)
+        chain, displays, log = runner(self.params, chain, stacked, shared, style_targets, keys)
+        self.last_loss_log = log
+        return chain, displays
+
     def optimize_frames(
         self,
         contents_u8,

@@ -170,21 +170,50 @@ def run_video_style_passes(
                     saver.drain()
                     continue
 
-                frame_pairs = zip(
+                pairs = list(zip(
                     frames + frames[: 11 if args.loop else 1],
                     frames[1:] + frames[: 10 if args.loop else 1],
-                )
-                for n, (prev_frame, this_frame) in enumerate(frame_pairs):
+                ))
+                chain_k = getattr(args, "frame_batch", 0) or 8
+                n = -1
+                while n + 1 < len(pairs):
+                    n += 1
+                    prev_frame, this_frame = pairs[n]
                     out_path = f"{output_dir}/{current_size}/{pass_n + 1}_{name(this_frame)}.png"
                     if os.path.isfile(out_path) and not n >= len(frames):
                         pastiche = None  # resume skip: reseed the chain from artifacts
                         continue
-                    print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frame: {name(this_frame)}")
                     flow_direction = "forward" if pass_n % 2 == 0 else "backward"
                     flo_file = f"{output_dir}/flow/{flow_direction}_{name(prev_frame)}_{name(this_frame)}.flo"
                     first = size_n == 0 and pass_n == 0
 
                     if device_chain:
+                        # chunk sequentially-chained frames into one scan
+                        # program (wrap frames — j >= len(frames), possible
+                        # only with --loop — read artifacts of the CURRENT
+                        # pass, so they stay on the per-frame path)
+                        idxs = [n]
+                        if chain_k > 1:
+                            while (
+                                len(idxs) < chain_k
+                                and idxs[-1] + 1 < min(len(pairs), len(frames))
+                                and not os.path.isfile(
+                                    f"{output_dir}/{current_size}/{pass_n + 1}_{name(pairs[idxs[-1] + 1][1])}.png"
+                                )
+                            ):
+                                idxs.append(idxs[-1] + 1)
+                        if len(idxs) > 1:
+                            names = ", ".join(name(pairs[j][1]) for j in idxs)
+                            print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frames: {names}")
+                            pastiche = _device_chain_chunk(
+                                args, get_engine(), style_images, get_hist_stats(), out_hw,
+                                content_scale, output_dir, current_size, prev_size, pass_n,
+                                idxs, pairs, flow_direction, first, use_temporal_targets,
+                                num_iters, pastiche, saver,
+                            )
+                            n = idxs[-1]
+                            continue
+                        print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frame: {name(this_frame)}")
                         pastiche = _device_frame(
                             args, get_engine(), style_images, get_hist_stats(), out_hw, content_scale,
                             output_dir, current_size, prev_size, pass_n, n, len(frames),
@@ -192,6 +221,7 @@ def run_video_style_passes(
                             use_temporal_targets, num_iters, pastiche, saver, out_path,
                         )
                         continue
+                    print(f"Optimizing... size: {current_size}, pass: {pass_n + 1}, frame: {name(this_frame)}")
 
                     content_frames = [
                         resize_bilinear_np(mio.preprocess(prev_frame), scale_factor=content_scale),
@@ -322,6 +352,82 @@ def _device_first_pass_batched(
         )
         for i, (out_path, _) in enumerate(chunk):
             saver.submit(displays[i], out_path)
+
+
+def _device_chain_chunk(
+    args, engine, style_images, hist_stats, out_hw, content_scale,
+    output_dir, current_size, prev_size, pass_n, idxs, pairs,
+    flow_direction, first, use_temporal_targets, num_iters, chain, saver,
+):
+    """K sequentially-chained frames through ONE scan program
+    (engine.optimize_frame_chain): stacked per-frame inputs go up once, K
+    display images come down once; the pastiche chains on device.  Mirrors
+    _device_frame's init/blend/temporal semantics for the two chained modes
+    (first-pass prev_warp, reference style.py:223-228; later-pass blend +
+    warped temporal target, style.py:232-286)."""
+    import jax.numpy as jnp
+
+    from PIL import Image
+
+    iters = max(num_iters // args.passes_per_scale, 1)
+    seed0 = int(getattr(args, "seed", 0) or 0)
+    src_size = prev_size if pass_n == 0 else current_size
+    src_pass = args.passes_per_scale if pass_n == 0 else pass_n
+
+    contents, blends, flows, weights, out_paths, seeds = [], [], [], [], [], []
+    for j in idxs:
+        p_frame, t_frame = pairs[j]
+        out_paths.append(f"{output_dir}/{current_size}/{pass_n + 1}_{name(t_frame)}.png")
+        contents.append(mio.load_u8(t_frame))
+        seeds.append(seed0 + j)
+        flo = f"{output_dir}/flow/{flow_direction}_{name(p_frame)}_{name(t_frame)}.flo"
+        if first:  # prev_warp: init = warp(chain), no temporal target
+            flows.append(read_flo(flo))
+        else:
+            blends.append(mio.load_u8(f"{output_dir}/{src_size}/{src_pass}_{name(t_frame)}.png"))
+            if use_temporal_targets:
+                flows.append(read_flo(flo))
+                wfile = f"{output_dir}/flow/{flow_direction}_{name(p_frame)}_{name(t_frame)}.png"
+                weights.append(np.asarray(Image.open(wfile).convert("L")))
+
+    if chain is None:
+        p_frame = pairs[idxs[0]][0]
+        if first:
+            saver.drain()  # the previous frame's artifact may still be queued
+            prev_art = f"{output_dir}/{current_size}/{pass_n + 1}_{name(p_frame)}.png"
+            if os.path.isfile(prev_art):
+                chain = jnp.asarray(resize_bilinear_np(mio.preprocess(prev_art), size=out_hw))
+            else:
+                chain = engine.prep_frame(mio.load_u8(p_frame), out_hw, hist_stats)
+        else:
+            ifile = f"{output_dir}/{src_size}/{src_pass}_{name(p_frame)}.png"
+            chain = jnp.asarray(resize_bilinear_np(mio.preprocess(ifile), size=out_hw))
+
+    stacked = {"content_u8": np.stack(contents)}
+    if first:
+        mode, use_temp = "warp_prev", False
+        stacked["flow"] = np.stack(flows).astype(np.float32)
+    else:
+        mode, use_temp = "blend", bool(use_temporal_targets)
+        stacked["blend"] = np.stack(blends)
+        if use_temporal_targets:
+            stacked["flow"] = np.stack(flows).astype(np.float32)
+            stacked["weights_u8"] = np.stack(weights)
+
+    chain, displays = engine.optimize_frame_chain(
+        chain, stacked, style_images, iters,
+        out_hw=out_hw,
+        content_scale=content_scale,
+        blend_weights=args.style_blend_weights,
+        init_mode=mode,
+        use_temporal=use_temp,
+        temporal_blend=float(args.temporal_blend),
+        hist_stats=hist_stats,
+        seeds=seeds,
+    )
+    for i, op in enumerate(out_paths):
+        saver.submit(displays[i], op)
+    return chain
 
 
 def _device_frame(
