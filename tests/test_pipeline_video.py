@@ -322,3 +322,50 @@ def test_vid_img_chain_chunks_match_sequential(tmp_path):
             ib = np.asarray(Image.open(b)).astype(int)
             isq = np.asarray(Image.open(s)).astype(int)
             assert np.abs(ib - isq).max() <= 1, (b, s)
+
+
+def test_vid_img_multiscale_chain_chunks_match_sequential(tmp_path):
+    """Across scales, pass-0 chunks blend from the PREVIOUS scale's artifacts
+    (reference style.py:233-250) — chunked and per-frame paths must agree.
+    passes_per_scale is even: odd values leave the frame order reversed at
+    the next scale, whose pass 0 then asks for forward-named flows of
+    descending pairs that the prepass never writes (a latent reference
+    constraint — its default is 4, load.py:158-169)."""
+    from maua_style_tpu.pipelines import vid_img as vi
+
+    content = str(tmp_path / "vid.npy")
+    style = str(tmp_path / "style.png")
+    _make_video(content, t=3, size=24)
+    _make_image(style)
+
+    def argv(out, frame_batch):
+        return [
+            "--transfer_type", "vid_img",
+            "--content", content,
+            "--style", style,
+            "--output_dir", str(tmp_path / out),
+            "--image_sizes", "12,16",
+            "--num_iters", "4,4",
+            "--passes_per_scale", "2",
+            "--optimizer", "adam",
+            "--flow_models", "spynet",
+            "--init", "content",
+            "--gpu", "c",
+            "--scaling_args", str(tmp_path / "missing.json"),
+            "--seed", "0",
+            "--frame_batch", str(frame_batch),
+            "--allow_random_weights",
+        ]
+
+    vi.vid_img(config.get_args(argv("chunked", 0)))
+    vi.vid_img(config.get_args(argv("seq", 1)))
+
+    for size in (12, 16):
+      for pass_n in (1, 2):
+        chunked = sorted(glob.glob(str(tmp_path / "chunked" / "vid_style" / str(size) / f"{pass_n}_*.png")))
+        seq = sorted(glob.glob(str(tmp_path / "seq" / "vid_style" / str(size) / f"{pass_n}_*.png")))
+        assert len(chunked) == len(seq) == 3
+        for b, s in zip(chunked, seq):
+            ib = np.asarray(Image.open(b)).astype(int)
+            isq = np.asarray(Image.open(s)).astype(int)
+            assert np.abs(ib - isq).max() <= 1, (b, s)
