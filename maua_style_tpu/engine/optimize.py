@@ -90,6 +90,19 @@ class StyleEngine:
             pack_stem = not self._is_multi_device(pastiche_sharding)
         self.pack_stem = pack_stem
 
+        # per-frame programs see a (1, H, W, C) pastiche: the "frames" mesh
+        # axis can't shard the size-1 dim, so they constrain to the
+        # frames-stripped spec; optimize_frames() re-applies the frames axis
+        # at the stacked-batch level (DP over frames)
+        self.frame_sharding = None
+        if pastiche_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = list(pastiche_sharding.spec) + [None] * (4 - len(pastiche_sharding.spec))
+            self.frame_sharding = NamedSharding(
+                pastiche_sharding.mesh, PartitionSpec(None, *spec[1:])
+            )
+
         def extract(prm, x, layers):
             # pack_stem: block 1 runs space-to-depth-packed (exact same math,
             # ~2x step speedup at 1024²; see ops/packed_stem.py)
@@ -274,7 +287,7 @@ class StyleEngine:
 
     # -- fused per-video-frame program ---------------------------------------
 
-    def _frame_program(self, n_iters: int, fkey: tuple, extract):
+    def _frame_program(self, n_iters: int, fkey: tuple, extract, sharding="frame"):
         """Build the per-frame program body shared by the per-frame runner and
         the batched (vmapped) runner: u8 preprocess + resize, device histogram
         match, pastiche init (content / random / warp_prev / blend), in-graph
@@ -345,8 +358,8 @@ class StyleEngine:
                 grad = grad.astype(jnp.float32)
                 updates, s2 = opt.update(grad, s, p)
                 p = optax.apply_updates(p, updates)
-                if self.pastiche_sharding is not None:
-                    p = jax.lax.with_sharding_constraint(p, self.pastiche_sharding)
+                if sharding == "frame" and self.frame_sharding is not None:
+                    p = jax.lax.with_sharding_constraint(p, self.frame_sharding)
                 return (p, s2), per
 
             (p, _), log = jax.lax.scan(step, (p0, st), length=n_iters)
@@ -363,7 +376,7 @@ class StyleEngine:
             self._runners[key] = jax.jit(self._frame_program(n_iters, fkey, self._extract))
         return self._runners[key]
 
-    def _frames_batch_runner(self, n_iters: int, fkey: tuple, hist: bool):
+    def _frames_batch_runner(self, n_iters: int, fkey: tuple, hist: bool, sharded: bool = False):
         """vmap of the per-frame program over a stacked frame batch.
 
         First-pass vid_img frames with ``init`` content/random have no
@@ -376,7 +389,7 @@ class StyleEngine:
         across frames).  Batch-B convolutions also use the MXU far better
         than the batch-1 step, and a whole chunk costs one dispatch
         round-trip instead of B (the big win through a tunneled chip)."""
-        key = ("frames_batch", n_iters, fkey)
+        key = ("frames_batch", n_iters, fkey, sharded)
         if key not in self._runners:
             # plain stem: batch-B convs don't need the batch-1 space-to-batch
             # packing (and vmapping the packed reshapes just adds copies)
@@ -387,10 +400,49 @@ class StyleEngine:
                     prm, x.astype(compute_dtype), spec, layers, precision, pack_stem=False
                 )
 
+            # the per-frame (frames-stripped) constraint applies INSIDE vmap:
+            # vmap batches the spec with an unconstrained stack dim, so the
+            # spatial axes stay pinned per iteration while the frames mesh
+            # axis propagates onto the stack dim from the sharded inputs and
+            # the outer constraint below (DP over frames)
             run = self._frame_program(n_iters, fkey, extract_plain)
             aux_axes = {"content_u8": 0, **({"mu_s": None, "qs": None} if hist else {})}
-            self._runners[key] = jax.jit(jax.vmap(run, in_axes=(None, aux_axes, None, 0)))
+            batched = jax.vmap(run, in_axes=(None, aux_axes, None, 0))
+            bsh = self._frames_sharding if sharded else None
+            if bsh is not None:
+                def constrained(prm, aux, style_targets, keys):
+                    out, disp, log = batched(prm, aux, style_targets, keys)
+                    out = jax.lax.with_sharding_constraint(out, bsh(5))
+                    disp = jax.lax.with_sharding_constraint(disp, bsh(4))
+                    return out, disp, log
+
+                self._runners[key] = jax.jit(constrained)
+            else:
+                self._runners[key] = jax.jit(batched)
         return self._runners[key]
+
+    @property
+    def _frames_sharding(self):
+        """NamedSharding factory for stacked frame batches — the pastiche
+        sharding's "frames" axis moved to the stack dim (spatial axes keep
+        their place on H) — or None without a frames mesh axis."""
+        sh = self.pastiche_sharding
+        if sh is None:
+            return None
+        mesh = sh.mesh
+        if "frames" not in mesh.axis_names or mesh.shape["frames"] < 2:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = list(sh.spec) + [None] * (4 - len(sh.spec))
+
+        def make(rank: int):
+            # rank 4: (B, h, w, c) stacks; rank 5: (B, 1, H, W, C) pastiches
+            dims = ["frames", None, *spec[1:3]] if rank == 5 else ["frames", spec[1], None]
+            dims += [None] * (rank - len(dims))
+            return NamedSharding(mesh, PartitionSpec(*dims[:rank]))
+
+        return make
 
     def _frames_chain_runner(self, n_iters: int, fkey: tuple, aux_keys: tuple, shared_keys: tuple):
         """lax.scan of the per-frame program over K sequentially-dependent
@@ -529,7 +581,18 @@ class StyleEngine:
             1.0,
             scale_key,
         )
-        runner = self._frames_batch_runner(int(num_iters), fkey, hist_stats is not None)
+        # DP over the "frames" mesh axis: shard the stacked batch when it
+        # divides evenly (each chip optimizes its own frames; zero
+        # collectives in steady state — the multi-chip mode for video)
+        bsh = self._frames_sharding
+        n_shards = bsh(4).mesh.shape["frames"] if bsh is not None else 1
+        sharded = bsh is not None and batch % n_shards == 0
+        if sharded:
+            aux["content_u8"] = jax.device_put(
+                aux["content_u8"],
+                jax.sharding.NamedSharding(bsh(4).mesh, jax.sharding.PartitionSpec("frames")),
+            )
+        runner = self._frames_batch_runner(int(num_iters), fkey, hist_stats is not None, sharded)
         if seeds is None:
             seeds = range(batch)
         keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])

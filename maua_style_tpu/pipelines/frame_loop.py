@@ -328,6 +328,11 @@ def _device_first_pass_batched(
 
     items = sorted(todo.items(), key=lambda kv: kv[1][0])
     batch = _auto_frame_batch(out_hw, getattr(args, "frame_batch", 0))
+    bsh = getattr(engine, "_frames_sharding", None)
+    if bsh is not None and not (getattr(args, "frame_batch", 0) > 0):
+        # a "frames" mesh axis shards each chunk n-ways (DP): per-chip
+        # memory is batch/n frames, so the auto batch scales with n
+        batch *= int(bsh(4).mesh.shape["frames"])
     iters = max(num_iters // args.passes_per_scale, 1)
     seed0 = int(getattr(args, "seed", 0) or 0)
     init_mode = "random" if args.init == "random" else "content"

@@ -178,3 +178,52 @@ def test_sharded_vqgan_decode_matches_single_device():
     z_sharded = jax.device_put(z, sharding)
     sharded = jax.jit(lambda p, zz: vq.decode(p, zz, cfg))(params, z_sharded)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), atol=1e-4, rtol=1e-4)
+
+
+def test_batched_frames_dp_sharding_matches_single_device():
+    """optimize_frames (independent first-pass video frames) under a
+    frames-mesh: each chip optimizes its own frames (DP) — results match the
+    unsharded batch, and the outputs actually carry the frames sharding."""
+    rng = np.random.default_rng(4)
+    contents = rng.integers(0, 255, (4, 24, 24, 3)).astype(np.uint8)
+    style = rng.random((1, 20, 20, 3), np.float32) * 255 - 128
+    out_hw = (20, 20)
+
+    pb0, db0 = _engine(None).optimize_frames(
+        contents, [style], 5, out_hw=out_hw, init_mode="content", blend_weights=[1.0]
+    )
+
+    mesh = build_mesh(jax.devices(), [("frames", 2), ("space", 2)])
+    sharding = NamedSharding(mesh, P("frames", "space", None, None))
+    pb, db = _engine(sharding).optimize_frames(
+        contents, [style], 5, out_hw=out_hw, init_mode="content", blend_weights=[1.0]
+    )
+
+    assert "frames" in str(pb.sharding.spec)  # DP actually applied
+    np.testing.assert_allclose(np.asarray(pb), np.asarray(pb0), atol=1e-3, rtol=1e-4)
+    assert np.abs(np.asarray(db).astype(int) - np.asarray(db0).astype(int)).max() <= 1
+
+    # a batch that doesn't divide the frames axis falls back to replicated
+    pb3, _ = _engine(sharding).optimize_frames(
+        contents[:3], [style], 5, out_hw=out_hw, init_mode="content", blend_weights=[1.0]
+    )
+    np.testing.assert_allclose(np.asarray(pb3), np.asarray(pb0)[:3], atol=1e-3, rtol=1e-4)
+
+
+def test_per_frame_program_strips_frames_axis():
+    """Per-frame programs ((1, H, W, C) pastiches) can't shard the size-1
+    frame dim: the engine constrains them to the frames-stripped spec, so a
+    frames+space mesh still works for the chained vid_img path."""
+    rng = np.random.default_rng(5)
+    content = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+    style = rng.random((1, 20, 20, 3), np.float32) * 255 - 128
+
+    mesh = build_mesh(jax.devices(), [("frames", 2), ("space", 2)])
+    sharding = NamedSharding(mesh, P("frames", "space", None, None))
+    p1, d1 = _engine(sharding).optimize_frame(
+        content, [style], 5, out_hw=(20, 20), init_mode="content", blend_weights=[1.0]
+    )
+    p0, d0 = _engine(None).optimize_frame(
+        content, [style], 5, out_hw=(20, 20), init_mode="content", blend_weights=[1.0]
+    )
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-3, rtol=1e-4)
