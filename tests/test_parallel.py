@@ -227,3 +227,44 @@ def test_per_frame_program_strips_frames_axis():
         content, [style], 5, out_hw=(20, 20), init_mode="content", blend_weights=[1.0]
     )
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-3, rtol=1e-4)
+
+
+def test_vid_img_cli_on_frames_mesh(tmp_path):
+    """vid_img end-to-end through config --mesh frames:2,space:2: the batched
+    first pass DP-shards frames, the chained second pass runs frames-stripped
+    (size-1 frame dim can't shard) — previously a frames mesh axis was
+    unusable for vid_img at all."""
+    from PIL import Image
+
+    from maua_style_tpu import config
+    from maua_style_tpu.pipelines.vid_img import vid_img
+
+    rng = np.random.default_rng(0)
+    np.save(tmp_path / "vid.npy", rng.integers(0, 255, (4, 24, 24, 3), dtype=np.uint8))
+    Image.fromarray(rng.integers(0, 255, (24, 24, 3), dtype=np.uint8).astype(np.uint8)).save(
+        tmp_path / "style.png"
+    )
+    args = config.get_args([
+        "--transfer_type", "vid_img",
+        "--content", str(tmp_path / "vid.npy"),
+        "--style", str(tmp_path / "style.png"),
+        "--output_dir", str(tmp_path / "out"),
+        "--image_sizes", "16",
+        "--num_iters", "4",
+        "--passes_per_scale", "2",
+        "--optimizer", "adam",
+        "--flow_models", "spynet",
+        "--init", "content",
+        "--gpu", "c",
+        "--mesh", "frames:2,space:2",
+        "--scaling_args", str(tmp_path / "missing.json"),
+        "--seed", "0",
+        "--allow_random_weights",
+    ])
+    assert args.mesh_shape == [("frames", 2), ("space", 2)]
+    vid_img(args)
+    import glob
+
+    out_dir = str(tmp_path / "out" / "vid_style")
+    assert len(glob.glob(f"{out_dir}/16/1_*.png")) == 4
+    assert len(glob.glob(f"{out_dir}/16/2_*.png")) == 4
