@@ -103,6 +103,38 @@ def test_tokenizer_bpe_algorithm():
     os.remove(path)
 
 
+def test_tokenizer_hf_merges_and_vocab_json(tmp_path, capsys):
+    """HF-format merges.txt (+vocab.json) loads; ids come from vocab.json."""
+    import json
+    from maua_style_tpu.models.clip.tokenizer import SimpleTokenizer
+
+    merges = tmp_path / "merges.txt"
+    merges.write_text("#version: 0.2\nl o\nlo w</w>\n\n")  # trailing blank line like real HF files
+    tok = SimpleTokenizer(bpe_path=str(merges))
+    assert tok.has_vocab
+    assert tok.bpe("low") == "low</w>"
+    assert ("l", "o") in tok.bpe_ranks and ("lo", "w</w>") in tok.bpe_ranks
+    assert len(tok.bpe_ranks) == 2  # blank line dropped, header skipped
+
+    vocab = tmp_path / "vocab.json"
+    vocab.write_text(json.dumps({"low</w>": 1234, "<|startoftext|>": 49406, "<|endoftext|>": 49407}))
+    tok2 = SimpleTokenizer(bpe_path=str(merges), vocab_json=str(vocab))
+    assert tok2.encode("low") == [1234]
+    assert capsys.readouterr().out == ""  # no fallback warning when a vocab loads
+
+
+def test_tokenizer_fallback_warns_once(capsys, monkeypatch):
+    import maua_style_tpu.models.clip.tokenizer as T
+
+    monkeypatch.setattr(T, "_WARNED_NO_VOCAB", False)
+    monkeypatch.setattr(T, "_VOCAB_CANDIDATES", ("/nonexistent/a", "/nonexistent/b"))
+    T.SimpleTokenizer()
+    out1 = capsys.readouterr().out
+    assert "Warning" in out1 and "bpe_simple_vocab_16e6" in out1
+    T.SimpleTokenizer()
+    assert capsys.readouterr().out == ""  # one-time
+
+
 def test_clip_encoders_shapes():
     from maua_style_tpu.models.clip import CLIP
     from maua_style_tpu.models.clip.model import CLIPConfig
