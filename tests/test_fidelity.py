@@ -261,6 +261,7 @@ def _setup(cfg: LossConfig, optimizer: str, lr: float, seed: int = 0):
 CFG = LossConfig()  # reference defaults: relu4_2 content, relu{1..5}_1 style
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("optimizer,lr,iters", [("adam", 1.0, 40), ("lbfgs", 1.0, 30)])
 def test_fidelity_single_scale(optimizer, lr, iters):
     rng = np.random.default_rng(0)
@@ -277,6 +278,7 @@ def test_fidelity_single_scale(optimizer, lr, iters):
     assert s >= 0.98, f"SSIM {s:.4f} < 0.98 ({optimizer})"
 
 
+@pytest.mark.slow
 def test_fidelity_multiscale_img_img():
     """Two-scale img_img schedule: content rescale, style area-matched rescale
     (style.py:44-50), init from the upscaled previous pastiche."""
@@ -321,6 +323,7 @@ def test_fidelity_multiscale_img_img():
     assert s >= 0.98, f"multiscale SSIM {s:.4f} < 0.98"
 
 
+@pytest.mark.slow
 def test_fidelity_vid_img_frame():
     """One vid_img frame step: temporal target = flow-warped previous frame
     with reliability weights (style.py:273-288 semantics)."""
@@ -378,6 +381,7 @@ def test_fidelity_nin_arch():
     assert s >= 0.98, f"NIN SSIM {s:.4f} < 0.98"
 
 
+@pytest.mark.slow
 def test_fidelity_covariance_mode():
     """--use_covariance: mean-centred Grams (reference loss.py:87-90)."""
     cfg = LossConfig(use_covariance=True)
@@ -394,6 +398,7 @@ def test_fidelity_covariance_mode():
     assert s >= 0.98, f"covariance SSIM {s:.4f} < 0.98"
 
 
+@pytest.mark.slow
 def test_fidelity_normalize_weights():
     """--normalize_weights: per-loss strength / max(target dim), applied once
     after capture (reference optim.py:176-178)."""
@@ -422,6 +427,7 @@ def test_fidelity_normalize_weights():
     assert s >= 0.98, f"normalize_weights SSIM {s:.4f} < 0.98"
 
 
+@pytest.mark.slow
 def test_fidelity_img_vid_window_step():
     """One img_vid window step (4-frame pastiche, whole-video window):
     per-frame static Grams + the dynamic full-window Gram scaled by
@@ -455,6 +461,7 @@ def test_fidelity_img_vid_window_step():
     assert s >= 0.98, f"img_vid window SSIM {s:.4f} < 0.98"
 
 
+@pytest.mark.slow
 def test_bf16_serving_converges_like_f32():
     """The bf16 serving config reaches the same final loss as full f32
     (PERF.md: trajectories diverge chaotically, the optimisation target does

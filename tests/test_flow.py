@@ -46,7 +46,15 @@ def test_backward_warp_shifts():
     np.testing.assert_allclose(out[0, :, 3, 0], 1.0, atol=1e-5)
 
 
-@pytest.mark.parametrize("net_cls,hw", [(SPyNet, (64, 96)), (PWCNet, (64, 64)), (UnFlow, (64, 64)), (LiteFlowNet, (64, 64))])
+@pytest.mark.parametrize(
+    "net_cls,hw",
+    [
+        (SPyNet, (64, 96)),
+        pytest.param(PWCNet, (64, 64), marks=pytest.mark.slow),
+        pytest.param(UnFlow, (64, 64), marks=pytest.mark.slow),
+        (LiteFlowNet, (64, 64)),
+    ],
+)
 def test_flow_nets_run(net_cls, hw):
     net = net_cls()
     np.random.seed(0)

@@ -66,6 +66,7 @@ def test_ca_update_rate_map_masks_region():
     assert np.abs(out[0, :, :4]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_nca_training_step_decreases_loss(tmp_path):
     from maua_style_tpu.pipelines.nca_train import train
     from PIL import Image
