@@ -51,7 +51,9 @@ def match_histogram(target, source, eps: float = 1e-2, mode="avg", rng: np.rando
         return target
     target = np.asarray(target, dtype=np.float32)
     backup = target.copy()
-    rng = rng or np.random.default_rng()
+    # default rng derives from the global numpy state so `--seed` (np.random.seed
+    # at CLI entry) makes the whole pipeline reproducible; unseeded runs stay random
+    rng = rng or np.random.default_rng(np.random.randint(2**31))
     elementwise = mode == "avg"
     sources = source if isinstance(source, list) else [source]
     try:
