@@ -49,6 +49,30 @@ def info(x, label: str | None = None) -> None:
     print(f"{prefix}{x.min():.2f} {x.mean():.2f} {x.max():.2f} {tuple(x.shape)}")
 
 
+def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> float:
+    """Gaussian-weighted SSIM (11x11, sigma 1.5 — the standard formulation).
+
+    Used by tools/fidelity_vs_reference.py to score output fidelity against a
+    reference-produced image (BASELINE.md north star: SSIM >= 0.98 at 1024²).
+    Inputs are HWC (or NHWC) uint8/float arrays on the 0..data_range scale.
+    """
+    from scipy.ndimage import gaussian_filter
+
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch: {a.shape} vs {b.shape}")
+    sigma = (0,) * (a.ndim - 3) + (1.5, 1.5, 0)
+    blur = lambda x: gaussian_filter(x, sigma=sigma, truncate=3.5)
+    mu_a, mu_b = blur(a), blur(b)
+    var_a = blur(a * a) - mu_a**2
+    var_b = blur(b * b) - mu_b**2
+    cov = blur(a * b) - mu_a * mu_b
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / ((mu_a**2 + mu_b**2 + c1) * (var_a + var_b + c2))
+    return float(s.mean())
+
+
 def wrapping_indices(length: int, start: int, window: int) -> np.ndarray:
     """Indices of a circular window over the leading axis.
 

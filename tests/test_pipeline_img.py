@@ -156,3 +156,51 @@ def test_img_img_cli_mesh_end_to_end(tmp_path):
     final = np.asarray(Image.open(f"{args.output}_24.png"))
     assert final.shape == (24, 24, 3)
     assert final.std() > 0  # optimisation ran (not a blank artifact)
+
+
+def test_fidelity_vs_reference_tool(tmp_path, capsys):
+    """tools/fidelity_vs_reference.py stages the BASELINE.md SSIM north star
+    (>=0.98 at 1024² once real weights exist); here it runs the same small
+    random-weights config twice and must score SSIM 1.0 against itself, and
+    fail against a different image."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import fidelity_vs_reference
+    finally:
+        sys.path.pop(0)
+
+    content = str(tmp_path / "content.png")
+    style = str(tmp_path / "style.png")
+    _write_image(content, 0)
+    _write_image(style, 1)
+
+    def style_argv(out):
+        os.makedirs(str(tmp_path / out), exist_ok=True)
+        return [
+            "--content", content, "--style", style,
+            "--output_dir", str(tmp_path / out),
+            "--image_sizes", "16,24", "--num_iters", "4,3",
+            "--optimizer", "adam", "--learning_rate", "1.0", "--gpu", "c",
+            "--scaling_args", str(tmp_path / "missing.json"), "--seed", "0",
+        ]
+
+    # produce the "reference" image (stands in for the torch repo's output)
+    np.random.seed(0)
+    img_img(config.get_args(style_argv("ref")))
+    ref_png = str(tmp_path / "ref" / "content_style_24.png")
+    assert os.path.exists(ref_png)
+
+    v = fidelity_vs_reference.main(["--reference_output", ref_png, "--"] + style_argv("ours"))
+    assert v["pass"] and v["ssim"] == 1.0, v
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    import json
+
+    assert json.loads(line)["pass"] is True
+
+    # a mismatched image must fail the bound
+    other = str(tmp_path / "other.png")
+    _write_image(other, seed=7, size=24)
+    v2 = fidelity_vs_reference.main(["--reference_output", other, "--"] + style_argv("ours"))
+    assert not v2["pass"] and v2["ssim"] < 0.98
