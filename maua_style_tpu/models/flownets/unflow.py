@@ -2,13 +2,17 @@
 video (config/args-vid.json "flow_models"; flow.py:36-42 via
 sniklaus/pytorch-unflow).
 
-UnFlow's network is FlowNetC: siamese 3-conv feature towers, a cost volume
-(max displacement 4 at 1/8 resolution via the shared Pallas correlation
-kernel, plus a 1x1 redirect conv on the first tower), a contracting conv
-stack, and an expanding decoder with per-level flow predictions and deconv
-skip connections.  Inference-only, NHWC, RGB in [0, 1]; final flow is the
-level-2 prediction upsampled to input size (x20 magnitude convention shared
-with FlowNet-family checkpoints).
+UnFlow's network is FlowNetC: siamese 3-conv feature towers, the classic
+441-channel cost volume (max displacement 20 sampled every 2 px at 1/8
+resolution via the shared Pallas correlation kernel, plus a 1x1 redirect conv
+on the first tower), a contracting conv stack, and an expanding decoder with
+per-level flow predictions and deconv skip connections.  Channel counts match
+the published FlowNetC checkpoints exactly (conv3_1 takes 441 + 32 = 473), so
+the sniklaus network-css.pytorch state dict converts onto this net (the C part
+of the CSS stack; the two refinement FlowNetS nets are unconsumed leftovers).
+Inference-only, NHWC, RGB in [0, 1]; final flow is the level-2 prediction
+upsampled to input size (x20 magnitude convention shared with FlowNet-family
+checkpoints).
 """
 
 from __future__ import annotations
@@ -28,8 +32,8 @@ def _layout():
         ("feat/conv2", 64, 128, 5),
         ("feat/conv3", 128, 256, 5),
         ("redir", 256, 32, 1),
-        # contracting part after correlation: 81 + 32 channels
-        ("conv3_1", 113, 256, 3),
+        # contracting part after correlation: 441 + 32 channels
+        ("conv3_1", 473, 256, 3),
         ("conv4", 256, 512, 3),
         ("conv4_1", 512, 512, 3),
         ("conv5", 512, 512, 3),
@@ -74,7 +78,7 @@ class UnFlow:
         c1a, c2a, c3a = self._tower(params, im1)
         _, _, c3b = self._tower(params, im2)
 
-        corr = leaky_relu(correlation(c3a, c3b, 4))
+        corr = leaky_relu(correlation(c3a, c3b, 20, stride=2))
         redir = leaky_relu(conv(params, "redir", c3a))
         x = jnp.concatenate([corr, redir], axis=-1)
 

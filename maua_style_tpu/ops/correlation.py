@@ -28,21 +28,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def correlation_xla(f1: jax.Array, f2: jax.Array, max_disp: int = 4) -> jax.Array:
-    """Reference XLA implementation: (B, H, W, C) x2 -> (B, H, W, (2d+1)^2)."""
+def correlation_xla(f1: jax.Array, f2: jax.Array, max_disp: int = 4, stride: int = 1) -> jax.Array:
+    """Reference XLA implementation: (B, H, W, C) x2 -> (B, H, W, (2d/s+1)^2).
+
+    ``stride`` samples every s-th displacement (FlowNetC uses d=20, s=2 ->
+    a 21x21=441-channel cost volume — the classic "stride_2" correlation)."""
     b, h, w, c = f1.shape
     d = max_disp
     f2p = jnp.pad(f2, ((0, 0), (d, d), (d, d), (0, 0)))
     outs = []
-    for dy in range(2 * d + 1):
-        for dx in range(2 * d + 1):
+    for dy in range(0, 2 * d + 1, stride):
+        for dx in range(0, 2 * d + 1, stride):
             f2s = jax.lax.dynamic_slice(f2p, (0, dy, dx, 0), (b, h, w, c))
             outs.append(jnp.sum(f1 * f2s, axis=-1, dtype=jnp.float32))
     return jnp.stack(outs, axis=-1) / c
 
 
-def _corr_kernel(f1_ref, f2_hbm, out_ref, f2_vmem, sem, *, max_disp: int, tile: int, true_c: int):
+def _corr_kernel(f1_ref, f2_hbm, out_ref, f2_vmem, sem, *, max_disp: int, stride: int, tile: int, true_c: int):
     d = max_disp
+    n = 2 * d // stride + 1  # displacement samples per axis
     i = pl.program_id(0)
     # DMA the overlapping halo window of f2 (rows i*tile .. i*tile+tile+2d)
     dma = pltpu.make_async_copy(
@@ -56,21 +60,22 @@ def _corr_kernel(f1_ref, f2_hbm, out_ref, f2_vmem, sem, *, max_disp: int, tile: 
     dma.wait()
     f2 = f2_vmem[...]  # (TILE + 2d, W + 2d, Cp)
     inv_c = 1.0 / true_c  # channel padding is zeros; normalise by the true C
-    for dy in range(2 * d + 1):
-        for dx in range(2 * d + 1):
+    for iy in range(n):
+        for ix in range(n):
+            dy, dx = iy * stride, ix * stride
             f2s = jax.lax.slice(f2, (dy, dx, 0), (dy + tile, dx + w, c))
-            out_ref[:, :, dy * (2 * d + 1) + dx] = (
+            out_ref[:, :, iy * n + ix] = (
                 jnp.sum(f1 * f2s, axis=-1, dtype=jnp.float32) * inv_c
             )
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("max_disp", "stride", "tile", "interpret"))
 def correlation_pallas(
-    f1: jax.Array, f2: jax.Array, max_disp: int = 4, tile: int = 8, interpret: bool = False
+    f1: jax.Array, f2: jax.Array, max_disp: int = 4, stride: int = 1, tile: int = 8, interpret: bool = False
 ) -> jax.Array:
     b, h, w, c = f1.shape
     d = max_disp
-    k = (2 * d + 1) ** 2
+    k = (2 * d // stride + 1) ** 2
     hp = -(-h // tile) * tile  # pad H to a tile multiple
     cp = -(-c // 128) * 128  # pad channels to the 128-lane tiling (zero-padding preserves dot products)
     wp = -(-w // 8) * 8  # pad W to the 8-sublane tiling (Mosaic requires 8-aligned slice widths)
@@ -80,7 +85,7 @@ def correlation_pallas(
 
     def run_one(f1b, f2b):
         return pl.pallas_call(
-            functools.partial(_corr_kernel, max_disp=d, tile=tile, true_c=c),
+            functools.partial(_corr_kernel, max_disp=d, stride=stride, tile=tile, true_c=c),
             grid=(hp // tile,),
             in_specs=[
                 pl.BlockSpec((tile, w, cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -99,7 +104,7 @@ def correlation_pallas(
     return out[:, :h, : f1.shape[2]]
 
 
-def correlation(f1: jax.Array, f2: jax.Array, max_disp: int = 4) -> jax.Array:
+def correlation(f1: jax.Array, f2: jax.Array, max_disp: int = 4, stride: int = 1) -> jax.Array:
     """Cost volume; Pallas on TPU for non-trivial sizes, XLA elsewhere.
 
     Tiny feature maps (coarse pyramid levels) go to XLA — kernel launch +
@@ -107,10 +112,10 @@ def correlation(f1: jax.Array, f2: jax.Array, max_disp: int = 4) -> jax.Array:
     """
     if jax.default_backend() == "tpu" and f1.shape[1] >= 8 and f1.shape[2] >= 32:
         try:
-            return correlation_pallas(f1, f2, max_disp)
+            return correlation_pallas(f1, f2, max_disp, stride)
         except Exception:  # pragma: no cover - fall back if Mosaic rejects shapes
             pass
-    return correlation_xla(f1, f2, max_disp)
+    return correlation_xla(f1, f2, max_disp, stride)
 
 
 __all__ = ["correlation", "correlation_xla", "correlation_pallas"]

@@ -221,3 +221,23 @@ def test_pallas_gram_interpret_matches_xla():
     g = jax.grad(lambda x: jnp.sum(gram_pallas(x, True) * 2.0))(f)
     g_want = jax.grad(lambda x: jnp.sum(jnp.dot(x.T, x) * 2.0))(f)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_want), atol=1e-3, rtol=1e-3)
+
+
+def test_correlation_stride_samples_every_other_displacement():
+    """FlowNetC's stride-2 correlation: d=20,s=2 -> 21x21=441 channels equal to
+    the full volume's even displacements."""
+    rng = np.random.default_rng(3)
+    f1 = jnp.asarray(rng.standard_normal((1, 8, 8, 5)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 8, 8, 5)), jnp.float32)
+    full = np.asarray(correlation_xla(f1, f2, 4, 1)).reshape(1, 8, 8, 9, 9)
+    strided = np.asarray(correlation_xla(f1, f2, 4, 2)).reshape(1, 8, 8, 5, 5)
+    np.testing.assert_allclose(strided, full[:, :, :, ::2, ::2], rtol=1e-6)
+
+
+def test_correlation_pallas_stride_matches_xla():
+    rng = np.random.default_rng(4)
+    f1 = jnp.asarray(rng.standard_normal((1, 16, 32, 7)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((1, 16, 32, 7)), jnp.float32)
+    ref = correlation_xla(f1, f2, 4, 2)
+    got = correlation_pallas(f1, f2, 4, 2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

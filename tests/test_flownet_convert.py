@@ -39,12 +39,12 @@ def build_torch_stack(layout, seed=0):
     return mods, {name: mods[f"op{i}"] for i, (name, *_rest) in enumerate(layout)}
 
 
-def torch_correlation(f1, f2, md):
+def torch_correlation(f1, f2, md, stride=1):
     b, c, h, w = f1.shape
     f2p = F.pad(f2, (md, md, md, md))
     outs = []
-    for dy in range(2 * md + 1):
-        for dx in range(2 * md + 1):
+    for dy in range(0, 2 * md + 1, stride):
+        for dx in range(0, 2 * md + 1, stride):
             outs.append((f1 * f2p[:, :, dy : dy + h, dx : dx + w]).sum(1) / c)
     return torch.stack(outs, dim=1)
 
@@ -75,7 +75,7 @@ def torch_unflow(by_name, im1, im2):
 
     c1a, c2a, c3a = tower(im1)
     _, _, c3b = tower(im2)
-    corr = lrelu(torch_correlation(c3a, c3b, 4))
+    corr = lrelu(torch_correlation(c3a, c3b, 20, stride=2))  # FlowNetC 441-ch cost volume
     x = torch.cat([corr, lrelu(conv("redir", c3a))], 1)
     c3_1 = lrelu(conv("conv3_1", x))
     c4 = lrelu(conv("conv4_1", lrelu(conv("conv4", c3_1, 2))))
