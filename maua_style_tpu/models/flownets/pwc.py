@@ -132,16 +132,31 @@ class PWCNet:
 
 
 def convert_pwc_torch(state_dict) -> dict:
-    """Best-effort mapping of sniklaus pytorch-pwc state dicts (netExtractor /
-    netSix..netTwo decoders / netRefiner) onto our names."""
+    """Map a sniklaus pytorch-pwc state dict (netExtractor / netTwo..netSix
+    decoders / netRefiner) onto our names.
+
+    The published ``network-*.pytorch`` files carry the ORIGINAL ``module*``
+    naming (sniklaus's run.py renames ``module``->``net`` at load time); both
+    spellings are accepted.  His Decoder(L) owns the ``netUpflow``/``netUpfeat``
+    transposed convs it applies to decoder L+1's outputs, so ``netFiv.netUpfeat``
+    is our ``dec6/upfeat`` (the coarser level's upsampler) — level + 1, not
+    level.  Every consumed weight's shape is checked against the layout so a
+    drifted checkpoint fails loudly instead of mis-assigning.
+    """
     import numpy as np
     import re
 
+    state_dict = {k.replace("module", "net"): v for k, v in state_dict.items()}
     lvl_names = {"Six": 6, "Fiv": 5, "Fou": 4, "Thr": 3, "Two": 2, "One": 1}
     dense_names = {"netOne": 1, "netTwo": 2, "netThr": 3, "netFou": 4, "netFiv": 5}
+    expect = {name: (cin, cout, k) for name, cin, cout, k in _layout()}
     params = {}
 
-    def put(name, w, b):
+    def put(name, key, w, b):
+        cin, cout, k = expect[name]
+        want = (cin, cout, k, k) if k == 4 else (cout, cin, k, k)  # ConvTranspose stores (in, out, kh, kw)
+        if tuple(w.shape) != want:
+            raise ValueError(f"pwc checkpoint drift: {key} has shape {tuple(w.shape)}, {name} expects {want}")
         params[name] = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))), "b": jnp.asarray(b)}
 
     for key, val in state_dict.items():
@@ -149,27 +164,32 @@ def convert_pwc_torch(state_dict) -> dict:
             continue
         w = np.asarray(val)
         b = np.asarray(state_dict.get(key[:-7] + ".bias", np.zeros(w.shape[0], np.float32)))
-        m = re.match(r"netExtractor\.net(\w\w\w)\.(\d+)", key)
+        m = re.match(r"netExtractor\.net(\w\w\w)\.(\d+)\.weight$", key)
         if m:
             lvl = lvl_names[m.group(1)]
-            put(f"ext{lvl}/conv{int(m.group(2)) // 2 + 1}", w, b)
+            put(f"ext{lvl}/conv{int(m.group(2)) // 2 + 1}", key, w, b)
             continue
-        m = re.match(r"net(\w\w\w)\.net(\w+)\.(\d+)", key)
+        m = re.match(r"net(\w\w\w)\.net(One|Two|Thr|Fou|Fiv|Six)\.(\d+)\.weight$", key)
         if m and m.group(1) in lvl_names:
             lvl = lvl_names[m.group(1)]
             part = "net" + m.group(2)
             if part in dense_names:
-                put(f"dec{lvl}/conv{dense_names[part]}", w, b)
-            elif part == "netSix":
-                put(f"dec{lvl}/flow", w, b)
-            elif part == "netUpflow":
-                put(f"dec{lvl}/upflow", w, b)
-            elif part == "netUpfeat":
-                put(f"dec{lvl}/upfeat", w, b)
+                put(f"dec{lvl}/conv{dense_names[part]}", key, w, b)
+            else:  # netSix = the flow head
+                put(f"dec{lvl}/flow", key, w, b)
             continue
-        m = re.match(r"netRefiner\.netMain\.(\d+)", key)
+        # bare ConvTranspose2d members (no sequential index): Decoder(L) owns the
+        # upsamplers it applies to decoder L+1's flow/features -> our dec{L+1}/*
+        m = re.match(r"net(\w\w\w)\.netUp(flow|feat)\.weight$", key)
+        if m and m.group(1) in lvl_names:
+            put(f"dec{lvl_names[m.group(1)] + 1}/up{m.group(2)}", key, w, b)
+            continue
+        m = re.match(r"netRefiner\.netMain\.(\d+)\.weight$", key)
         if m:
-            put(f"ctx/conv{int(m.group(1)) // 2 + 1}", w, b)
+            put(f"ctx/conv{int(m.group(1)) // 2 + 1}", key, w, b)
+    missing = [name for name, *_ in _layout() if name not in params]
+    if missing:
+        raise ValueError(f"pwc checkpoint did not cover layers: {missing}")
     return params
 
 
