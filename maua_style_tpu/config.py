@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--allow_random_weights", action="store_true",
                         help="Proceed with deterministic random weights when a feature/flow "
                              "checkpoint is missing (outputs are meaningless; tests/smoke only)")
+    parser.add_argument("--download_weights", action="store_true",
+                        help="Self-provision missing checkpoints: download the published "
+                             "artifacts into modelzoo/ and convert them (the reference's "
+                             "auto-download behaviour, models.py:255-347; needs egress)")
 
     # switches
     parser.add_argument("--original_colors", action="store_true")
@@ -204,6 +208,11 @@ def postprocess(args) -> argparse.Namespace:
         # propagate to the env-var policy so loaders constructed without an
         # args handle (CLIP / VQGAN engines) see the same opt-out
         os.environ["MAUA_ALLOW_RANDOM_WEIGHTS"] = "1"
+
+    if getattr(args, "download_weights", False):
+        from .io.download import ensure_weights, names_for_args
+
+        ensure_weights(names_for_args(args))
 
     args.image_sizes = [int(s) for s in str(args.image_sizes).split(",")] if not isinstance(args.image_sizes, list) else args.image_sizes
     args.num_iters = [int(s) for s in str(args.num_iters).split(",")] if not isinstance(args.num_iters, list) else args.num_iters

@@ -406,11 +406,21 @@ def main(argv=None):
     parser.add_argument("--seed", default=-1, type=int)
     parser.add_argument("--allow_random_weights", action="store_true",
                         help="proceed with deterministic random weights when checkpoints are missing")
+    parser.add_argument("--download_weights", action="store_true",
+                        help="self-provision missing CLIP/VQGAN checkpoints + BPE vocab "
+                             "(reference clip_vqgan.py:160-201 behaviour; needs egress)")
     # fmt: on
     args = parser.parse_args(argv)
 
     if args.allow_random_weights:
         os.environ["MAUA_ALLOW_RANDOM_WEIGHTS"] = "1"
+
+    if args.download_weights:
+        from ..io.download import SOURCES, ensure_weights
+
+        clip_name = "clip_rn50" if args.clip_backbone.startswith("RN50") else "clip_vitb32"
+        wanted = [clip_name, "bpe_vocab"] + ([args.vqgan_dir] if args.vqgan_dir in SOURCES else [])
+        ensure_weights(wanted)
 
     if args.seed >= 0:
         np.random.seed(args.seed)

@@ -259,3 +259,64 @@ def test_unflow_css_schema_converts_fully():
     np.testing.assert_array_equal(
         np.asarray(params["conv3_1"]["w"]), sd["flownetc.4.weight"].transpose(2, 3, 1, 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# --download_weights self-provisioning (mocked fetcher; no egress here)
+
+
+def test_download_weights_provisions_and_converts(tmp_path, monkeypatch):
+    """--download_weights restores the reference's auto-download
+    (models.py:255-347): fetch the published artifact, convert to .npz."""
+    import torch
+
+    import maua_style_tpu.io.download as dl
+
+    monkeypatch.chdir(tmp_path)
+    fetched = []
+
+    def fake_download(url, output_path, progress=True):
+        fetched.append(url)
+        sd = {k: torch.tensor(v) for k, v in synth_sd(load_schema("vgg19.txt")).items()}
+        torch.save(sd, output_path)
+        return output_path
+
+    monkeypatch.setattr(dl, "download", fake_download)
+    done = dl.ensure_weights(["vgg19"])
+    assert done == ["vgg19"] and len(fetched) == 1
+    assert "justincj/models/vgg19" in fetched[0]
+    assert os.path.exists("modelzoo/vgg19.npz")
+
+    # idempotent: the converted artifact short-circuits any re-fetch
+    assert dl.ensure_weights(["vgg19"]) == []
+    assert len(fetched) == 1
+
+    # disabled (the fail-loud default): nothing is fetched
+    assert dl.ensure_weights(["spynet"], enabled=False) == []
+    assert len(fetched) == 1
+
+
+def test_download_weights_converts_existing_raw_without_fetch(tmp_path, monkeypatch):
+    """A raw .pth already in modelzoo/ converts in place — no network touch."""
+    import torch
+
+    import maua_style_tpu.io.download as dl
+
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(dl, "download", lambda *a, **k: (_ for _ in ()).throw(AssertionError("network touched")))
+    os.makedirs("modelzoo")
+    sd = {k: torch.tensor(v) for k, v in synth_sd(load_schema("spynet.txt")).items()}
+    torch.save(sd, "modelzoo/spynet.pytorch")
+    assert dl.ensure_weights(["spynet"]) == ["spynet"]
+    assert os.path.exists("modelzoo/spynet.npz")
+
+
+def test_download_names_for_args():
+    from maua_style_tpu import config
+    from maua_style_tpu.io.download import names_for_args
+
+    args = config.get_args([
+        "--content", "c.png", "--style", "s.png", "--transfer_type", "vid_img",
+        "--model_file", "vgg16-sod.pth", "--flow_models", "unflow,pwc",
+    ])
+    assert names_for_args(args) == ["sod", "unflow", "pwc"]
