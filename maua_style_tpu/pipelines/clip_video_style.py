@@ -17,12 +17,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from .. import flow as flowmod
 from .. import io as mio
 from ..io.image import CAFFE_MEAN
 from ..utils import name
 from .clip_vqgan import get_engine
-from .flow_prepass import process_content_video
+from .flow_prepass import start_flow_prepass
 from .frame_loop import run_video_style_passes
 
 
@@ -37,8 +36,7 @@ def _rgb01_to_bgr(x: np.ndarray) -> np.ndarray:
 def clip_video_style(args) -> None:
     output_dir = args.output_dir + "/" + name(args.content) + "_" + "_".join(name(s) for s in args.style)
 
-    flow_model = flowmod.get_flow_pair_model(args)
-    frames = process_content_video(flow_model, args)
+    frames, flow_ready = start_flow_prepass(args)
     style_images_big = mio.process_style_images(args)
     engine = get_engine(args.vqgan_dir, args.clip_backbone)
 
@@ -66,6 +64,7 @@ def clip_video_style(args) -> None:
     run_video_style_passes(
         args, output_dir, frames, style_images_big,
         on_scale=on_scale, optimize_frame=optimize_frame, use_temporal_targets=False,
+        flow_ready=flow_ready,
     )
 
 

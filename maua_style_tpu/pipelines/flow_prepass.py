@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+import threading
 
 import numpy as np
 from PIL import Image
@@ -41,9 +42,9 @@ def extract_frames(content: str, frames_dir: str) -> None:
         )
 
 
-def process_content_video(model, args) -> list[str]:
-    """Run the flow pre-pass; returns the ordered frame paths
-    (reference load.py:141-188)."""
+def _list_frames_and_missing(args) -> tuple[list[str], list[tuple[str, str]], str]:
+    """Extract frames (cheap, host/ffmpeg) and list the frame-pair flow
+    artifacts that still need computing."""
     work_dir = args.output_dir + "/" + name(args.content) + "_" + "_".join(name(s) for s in args.style)
     frames_dir = work_dir + "/frames/"
     flow_dir = work_dir + "/flow/"
@@ -60,7 +61,58 @@ def process_content_video(model, args) -> list[str]:
         for f1, f2 in zip(images[:-1], images[1:])
         if not os.path.isfile(f"{flow_dir}/backward_{name(f2)}_{name(f1)}.png")
     ]
+    images.pop(-1)
+    return images, missing, flow_dir
 
+
+def start_flow_prepass(args) -> tuple[list[str], "callable"]:
+    """Overlapped flow pre-pass: extract frames NOW, compute flow in a
+    background thread while the caller starts optimizing.
+
+    The reference serialises the whole pre-pass before the first styled frame
+    (load.py:141-188 runs to completion first); here the first optimisation
+    pass (which never reads flow unless ``--init prev_warp``) overlaps it —
+    the device queue interleaves the flow programs with the style programs
+    and the PNG/.flo writes ride the flow thread.  Artifacts and their schema
+    are identical.
+
+    Returns ``(frames, join)``; call ``join()`` before the first flow-artifact
+    read (it re-raises any pre-pass error).
+    """
+    images, missing, flow_dir = _list_frames_and_missing(args)
+    if not missing:
+        return images, lambda: None
+
+    box: dict = {}
+
+    def work():
+        try:
+            model = flowmod.get_flow_pair_model(args)
+            _compute_flow_pairs(model, missing, flow_dir, args)
+        except BaseException as e:  # noqa: BLE001 — re-raised in join()
+            box["err"] = e
+
+    t = threading.Thread(target=work, name="flow-prepass", daemon=True)
+    t.start()
+
+    def join():
+        t.join()
+        if "err" in box:
+            raise box["err"]
+
+    return images, join
+
+
+def process_content_video(model, args) -> list[str]:
+    """Run the flow pre-pass synchronously; returns the ordered frame paths
+    (reference load.py:141-188)."""
+    images, missing, flow_dir = _list_frames_and_missing(args)
+    if missing:
+        _compute_flow_pairs(model, missing, flow_dir, args)
+    return images
+
+
+def _compute_flow_pairs(model, missing, flow_dir, args) -> None:
     def write_pair(img_file1, img_file2, forward, backward, fwd_rel, bwd_rel):
         n1, n2 = name(img_file1), name(img_file2)
         write_flo(forward, f"{flow_dir}/forward_{n1}_{n2}.flo")
@@ -111,8 +163,5 @@ def process_content_video(model, args) -> list[str]:
                 fwd_rel = bwd_rel = None
             write_pair(img_file1, img_file2, forward, backward, fwd_rel, bwd_rel)
 
-    images.pop(-1)
-    return images
 
-
-__all__ = ["process_content_video", "extract_frames"]
+__all__ = ["process_content_video", "start_flow_prepass", "extract_frames"]

@@ -74,6 +74,7 @@ def run_video_style_passes(
     optimize_frame,
     use_temporal_targets: bool,
     frame_engine=None,
+    flow_ready=None,
 ) -> None:
     """Drive the (scale, pass, frame) triple loop.
 
@@ -85,6 +86,9 @@ def run_video_style_passes(
     computes but discards it, clip_video_style.py:164->173).
     ``frame_engine(ctx)``: returns the StyleEngine for the fused device-chain
     path, or None to use the host path.
+    ``flow_ready``: join handle of an overlapped flow pre-pass
+    (flow_prepass.start_flow_prepass) — called before the first pass that
+    reads flow artifacts, so pass 1 optimisation overlaps flow computation.
     """
     from .common import scale_styles
 
@@ -140,6 +144,13 @@ def run_video_style_passes(
                 return scale_state["hist"]
 
             for pass_n in range(args.passes_per_scale):
+                # a pass reads flow artifacts when it warps (prev_warp first
+                # pass) or feeds warped temporal targets (every later pass);
+                # wait for the overlapped pre-pass only then
+                first_pass = size_n == 0 and pass_n == 0
+                consumes_flow = (args.init == "prev_warp") if first_pass else use_temporal_targets
+                if flow_ready is not None and consumes_flow:
+                    flow_ready()
                 pastiche = None  # host-path chain (np) or device-path chain (jax.Array)
                 if args.loop:
                     start_idx = random.randrange(0, len(frames) - 1)
@@ -292,6 +303,8 @@ def run_video_style_passes(
             saver.drain()
             mux_video(output_dir, current_size, args)
             prev_size = current_size
+        if flow_ready is not None:
+            flow_ready()  # flow artifacts must be complete when the run returns
     finally:
         saver.close()
 

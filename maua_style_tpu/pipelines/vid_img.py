@@ -12,19 +12,20 @@ video pipeline.
 
 from __future__ import annotations
 
-from .. import flow as flowmod
 from .. import io as mio
 from ..utils import name
 from .common import build_engine
-from .flow_prepass import process_content_video
+from .flow_prepass import start_flow_prepass
 from .frame_loop import run_video_style_passes
 
 
 def vid_img(args) -> None:
     output_dir = args.output_dir + "/" + name(args.content) + "_" + "_".join(name(s) for s in args.style)
 
-    flow_model = flowmod.get_flow_pair_model(args)
-    frames = process_content_video(flow_model, args)
+    # flow computes in the background while pass 1 optimises (the reference
+    # serialises the whole pre-pass first, load.py:141-188); frame_loop joins
+    # before the first pass that reads a flow artifact
+    frames, flow_ready = start_flow_prepass(args)
     style_images_big = mio.process_style_images(args)
 
     def on_scale(current_size, style_images):
@@ -51,6 +52,7 @@ def vid_img(args) -> None:
         # device-resident frame chain: the whole per-frame pipeline is one
         # jitted program and only uint8 images cross the host boundary
         frame_engine=lambda ctx: ctx[0],
+        flow_ready=flow_ready,
     )
 
 

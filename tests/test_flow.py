@@ -185,6 +185,56 @@ def test_flow_prepass_caching(tmp_path):
     assert calls == []  # fully cached
 
 
+def test_start_flow_prepass_overlap(tmp_path, monkeypatch):
+    """start_flow_prepass returns frames immediately, computes the same
+    artifacts as the synchronous path in the background, and its join handle
+    re-raises pre-pass errors."""
+    import os
+    from maua_style_tpu.pipelines import flow_prepass
+
+    frames = (np.random.rand(3, 32, 32, 3) * 255).astype(np.uint8)
+    np.save(str(tmp_path / "vid.npy"), frames)
+
+    class Args:
+        content = str(tmp_path / "vid.npy")
+        style = [str(tmp_path / "style.png")]
+        output_dir = str(tmp_path / "out")
+        no_check_occlusion = False
+        verbose = False
+
+    def fake_pair_model(args):
+        return lambda im1, im2: np.zeros((*im1.shape[:2], 2), np.float32)
+
+    monkeypatch.setattr(flow_prepass.flowmod, "get_flow_pair_model", fake_pair_model)
+    images, join = flow_prepass.start_flow_prepass(Args())
+    assert len(images) == 3
+    join()
+    flow_dir = Args.output_dir + "/vid_style/flow"
+    assert os.path.exists(f"{flow_dir}/forward_00001_00002.flo")
+    assert os.path.exists(f"{flow_dir}/backward_00001_00003.png")
+
+    # fully cached second call: no thread, immediate no-op join
+    def boom(args):  # pragma: no cover - must not be called
+        raise AssertionError("model built despite cache")
+
+    monkeypatch.setattr(flow_prepass.flowmod, "get_flow_pair_model", boom)
+    images2, join2 = flow_prepass.start_flow_prepass(Args())
+    assert images2 == images
+    join2()
+
+    # errors surface at join(), not silently
+    class Args2(Args):
+        output_dir = str(tmp_path / "out2")
+
+    def broken_pair_model(args):
+        raise RuntimeError("no checkpoint")
+
+    monkeypatch.setattr(flow_prepass.flowmod, "get_flow_pair_model", broken_pair_model)
+    _, join3 = flow_prepass.start_flow_prepass(Args2())
+    with pytest.raises(RuntimeError, match="no checkpoint"):
+        join3()
+
+
 def test_deconv_matches_torch_convtranspose():
     import torch
     import torch.nn as nn
