@@ -5,9 +5,9 @@ which profiles at ~6 ms/iter of the 45 ms style step at 1024² (4 pools,
 ~13% of the step).  For the non-overlapping stride==kernel case the backward
 is just a compare-and-mask: broadcast the pooled max back to input positions
 and route the cotangent where the input equals it.  Exact wherever the max is
-unique; ties split the cotangent evenly (torch routes to the first argmax —
-a measure-zero difference for continuous activations, and post-ReLU zero
-plateaus receive zero cotangent through the ReLU backward anyway).
+unique; exact ties route to every tied candidate (torch routes to the first
+argmax — a measure-zero difference for continuous activations, and post-ReLU
+zero plateaus receive zero cotangent through the ReLU backward anyway).
 """
 
 from __future__ import annotations
@@ -39,11 +39,16 @@ def _mp_bwd(k, res, g):
     x, out = res
     b, oh, ow, c = out.shape
     xb = x.reshape(b, oh, k, ow, k, c)
-    # broadcast-compare in blocked form: fuses into one pass, no repeat copies
-    mask = (xb == out[:, :, None, :, None, :]).astype(g.dtype)
-    counts = mask.sum(axis=(2, 4), keepdims=True)
-    # split evenly across ties so the total routed cotangent is conserved
-    grad = mask * (g[:, :, None, :, None, :] / jnp.maximum(counts, 1.0))
+    # broadcast-compare in blocked form: ONE fused pass, no repeat copies and
+    # no tie-count reduction (the even-split divide cost an extra full-buffer
+    # reduction per pool; exact ties now route to every tied candidate — the
+    # same measure-zero stance as the docstring, and torch's first-argmax
+    # routing doesn't conserve the cotangent across ties either)
+    grad = jnp.where(
+        xb == out[:, :, None, :, None, :],
+        g[:, :, None, :, None, :],
+        jnp.zeros((), g.dtype),
+    )
     return (grad.reshape(b, oh * k, ow * k, c),)
 
 
