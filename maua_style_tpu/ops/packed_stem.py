@@ -131,17 +131,20 @@ def pool_packed(y: jax.Array) -> jax.Array:
     """2x2/stride-2 max pool of the *unpacked* image == max over (row phase,
     column pair) of the packed one; output is plain NHWC at half res.
 
-    Written as two pairwise ``jnp.maximum`` stages (row phase, then column
-    pair) instead of a 6-D reduce: the 6-D max's autodiff materialised two
-    window-broadcast buffers (~7 ms/iter at 1024², profiled), while the
-    pairwise form is pure elementwise selects both ways.  Forward values are
-    identical; cotangents of exact ties route differently (measure-zero for
-    continuous activations — same stance as ops/fast_pool.py)."""
+    Written as two pairwise ``where`` stages (row phase, then column pair)
+    instead of a 6-D reduce: the 6-D max's autodiff materialised two
+    window-broadcast buffers (~7 ms/iter at 1024², profiled), and
+    ``jnp.maximum``'s tie-splitting JVP (g/2 at equality) adds divides and
+    equality pred buffers in the backward (~1.4 ms/iter profiled).  The
+    where-form's backward is a single select per stage, and it routes ties
+    to the FIRST operand — torch's argmax semantics exactly."""
     b, h2, w, c2 = y.shape
     c = c2 // 2
-    ph = jnp.maximum(y[..., :c], y[..., c:])  # max over row phase
+    a, bb = y[..., :c], y[..., c:]
+    ph = jnp.where(a >= bb, a, bb)  # max over row phase
     ph = ph.reshape(b, h2, w // 2, 2, c)
-    return jnp.maximum(ph[:, :, :, 0, :], ph[:, :, :, 1, :])  # max over column pair
+    p0, p1 = ph[:, :, :, 0, :], ph[:, :, :, 1, :]
+    return jnp.where(p0 >= p1, p0, p1)  # max over column pair
 
 
 def as_phased(y: jax.Array) -> jax.Array:
