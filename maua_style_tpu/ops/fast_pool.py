@@ -24,9 +24,28 @@ def _pool_max(x: jax.Array, k: int) -> jax.Array:
     return x.max(axis=(2, 4))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _where_max(a: jax.Array, b: jax.Array) -> jax.Array:
+    # where-form max: the backward is ONE select routing ties to the first
+    # operand (torch argmax semantics); jnp.maximum's JVP tie-splits g/2 at
+    # equality which lowers to divide+pred-buffer fusions (profiled, see
+    # ops/packed_stem.pool_packed)
+    return jnp.where(a >= b, a, b)
+
+
 def max_pool_fast(x: jax.Array, k: int) -> jax.Array:
     """Non-overlapping k x k max pool (NHWC); input H, W divisible by k."""
+    if k == 2:
+        # pairwise where-chain under plain autodiff (all VGG pools take this)
+        b, h, w, c = x.shape
+        x6 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        rows = _where_max(x6[:, :, 0], x6[:, :, 1])  # (b, h/2, w/2, 2, c)
+        return _where_max(rows[:, :, :, 0, :], rows[:, :, :, 1, :])
+    return _max_pool_blocked(x, k)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _max_pool_blocked(x: jax.Array, k: int) -> jax.Array:
+    """General-k non-overlapping max pool with a compare-and-mask backward."""
     return _pool_max(x, k)
 
 
@@ -52,7 +71,7 @@ def _mp_bwd(k, res, g):
     return (grad.reshape(b, oh * k, ow * k, c),)
 
 
-max_pool_fast.defvjp(_mp_fwd, _mp_bwd)
+_max_pool_blocked.defvjp(_mp_fwd, _mp_bwd)
 
 
 __all__ = ["max_pool_fast"]
