@@ -30,7 +30,7 @@ from ..losses import (
     capture_temporal_targets,
     evaluate_losses,
 )
-from ..models.extractor import ExtractorSpec, apply_extractor, truncate_spec
+from ..models.extractor import ExtractorSpec, apply_extractor, prepare_params, truncate_spec
 from ..utils import wrapping_indices
 from .lbfgs import lbfgs
 from .windows import compute_windows, overlap_grad_mask, window_overlaps
@@ -239,6 +239,13 @@ class StyleEngine:
         extract = self._extract
 
         def run(prm, pastiche, opt_state, targets, grad_mask):
+            # weight casts + packed-stem kernel construction happen ONCE here,
+            # before the scan — traced inside the loop body XLA re-runs them
+            # every iteration (models/extractor.prepare_params)
+            prm = prepare_params(
+                prm, self.spec, self.compute_dtype,
+                self.pack_stem and pastiche.shape[1] % 2 == 0 and pastiche.shape[2] % 2 == 0,
+            )
             # content targets are captured INSIDE this program (the raw frame
             # travels in ``targets["content_img"]``): per-frame video loops
             # then make ONE device call per frame instead of a separate
@@ -287,7 +294,7 @@ class StyleEngine:
 
     # -- fused per-video-frame program ---------------------------------------
 
-    def _frame_program(self, n_iters: int, fkey: tuple, extract, sharding="frame"):
+    def _frame_program(self, n_iters: int, fkey: tuple, extract, sharding="frame", pack_stem=None):
         """Build the per-frame program body shared by the per-frame runner and
         the batched (vmapped) runner: u8 preprocess + resize, device histogram
         match, pastiche init (content / random / warp_prev / blend), in-graph
@@ -307,8 +314,13 @@ class StyleEngine:
         opt = self._make_optimizer()
         scale = dict(scale_key)
         cfg = self.loss_cfg
+        pack = self.pack_stem if pack_stem is None else pack_stem
+        pack = pack and out_hw[0] % 2 == 0 and out_hw[1] % 2 == 0
 
         def run(prm, aux, style_targets, key):
+            # hoist weight casts/packing out of the optimisation scan (see
+            # models/extractor.prepare_params)
+            prm = prepare_params(prm, self.spec, self.compute_dtype, pack)
             # scale_factor resampling keeps the host path's torch
             # scale-quirk semantics (ops/resize.py); size-mode otherwise
             if content_scale is not None:
@@ -405,7 +417,7 @@ class StyleEngine:
             # spatial axes stay pinned per iteration while the frames mesh
             # axis propagates onto the stack dim from the sharded inputs and
             # the outer constraint below (DP over frames)
-            run = self._frame_program(n_iters, fkey, extract_plain)
+            run = self._frame_program(n_iters, fkey, extract_plain, pack_stem=False)
             aux_axes = {"content_u8": 0, **({"mu_s": None, "qs": None} if hist else {})}
             batched = jax.vmap(run, in_axes=(None, aux_axes, None, 0))
             bsh = self._frames_sharding if sharded else None
@@ -460,6 +472,12 @@ class StyleEngine:
             out_hw = fkey[0]
 
             def chain_run(prm, chain, stacked, shared, style_targets, keys):
+                # prepare OUTSIDE the frame scan (the per-frame program's own
+                # prepare_params is then an idempotent no-op)
+                prm = prepare_params(
+                    prm, self.spec, self.compute_dtype,
+                    self.pack_stem and out_hw[0] % 2 == 0 and out_hw[1] % 2 == 0,
+                )
                 # the scan carry must be shape-invariant: a chain seeded from a
                 # smaller scale's artifact is resized up front (the per-frame
                 # program would otherwise resize it only on the first frame)

@@ -143,7 +143,8 @@ def _run_packed_stem(params, x, spec, remaining, acts, precision):
     for layer in spec.layers[:5]:
         if layer.kind == "conv":
             p = params[layer.name]
-            y = packed_conv3x3(y, p["w"].astype(y.dtype), p["b"], precision)
+            # "wp"/"bp": kernels pre-packed once per program by prepare_params
+            y = packed_conv3x3(y, p.get("wp", p["w"]), p.get("bp", p["b"]), precision)
         elif layer.kind == "relu":
             y = jnp.maximum(y, 0)
         else:  # the 2x2 max pool un-packs for free
@@ -154,6 +155,33 @@ def _run_packed_stem(params, x, spec, remaining, acts, precision):
             if not remaining:
                 return y
     return y
+
+
+def prepare_params(params: dict, spec: ExtractorSpec, dtype, pack_stem: bool = False) -> dict:
+    """Cast conv weights/biases to the compute dtype — and pre-pack the
+    block-1 kernels when the packed stem will run — ONCE per program.
+
+    apply_extractor casts at each use site; when the loss is differentiated
+    inside an optimisation ``lax.scan``, those casts (and the packed-stem
+    kernel construction) are traced into the loop BODY, and XLA does not
+    hoist them out of the while loop (profiled: several ms/iter of
+    weight-shaped fusions at 1024²).  Runners call this before the scan so
+    the per-site casts become no-ops.  Idempotent: packed_conv3x3 detects
+    already-packed kernels/biases by shape."""
+    out = {
+        n: {k: v.astype(dtype) if k in ("w", "b") else v for k, v in p.items()}
+        for n, p in params.items()
+    }
+    if pack_stem and _packable_stem(spec):
+        from ..ops.packed_stem import _packed_kernel
+
+        for layer in spec.layers[:5]:
+            if layer.kind == "conv" and layer.name in out:
+                p = out[layer.name]
+                if "wp" not in p:  # idempotent re-preparation
+                    p["wp"] = _packed_kernel(p["w"])
+                    p["bp"] = jnp.tile(p["b"], 2)
+    return out
 
 
 def apply_extractor(

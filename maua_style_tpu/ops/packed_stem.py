@@ -108,8 +108,15 @@ def packed_conv3x3(
     xp: (B, H2, W, 2*cin) packed input; returns (B, H2, W, 2*cout) packed —
     the packed form of conv(unpack_rows(xp), w, pad=1) + b, identical up to
     float-summation order.
+
+    ``w``/``b`` may arrive pre-packed (models/extractor.prepare_params does
+    this once per program so the packing isn't traced into the optimisation
+    scan): a packed kernel is recognised by its input-channel count matching
+    the packed activation's.
     """
-    kern = _packed_kernel(w).astype(xp.dtype)
+    if w.shape[2] != xp.shape[-1]:
+        w = _packed_kernel(w)
+    kern = w.astype(xp.dtype)
     h2 = xp.shape[1]
     if xp.shape[0] == 1 and h2 >= 64 and h2 % 8 == 0:
         bk = 16 if h2 % 16 == 0 and h2 >= 128 else 8
@@ -123,8 +130,10 @@ def packed_conv3x3(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             precision=precision,
         )
-    cout = w.shape[3]
-    return y + jnp.tile(b.astype(xp.dtype), 2)
+    bb = b.astype(xp.dtype)
+    if bb.shape[0] != kern.shape[3]:  # un-tiled bias: (cout,) -> (2*cout,)
+        bb = jnp.tile(bb, 2)
+    return y + bb
 
 
 def pool_packed(y: jax.Array) -> jax.Array:
