@@ -46,15 +46,12 @@ def _style_gram(a: jax.Array, use_covariance: bool) -> jax.Array:
     """Per-frame Grams.
 
     An explicit Pallas kernel exists (ops/pallas_gram.py) and wins in
-    isolation, but measured IN CONTEXT it loses ~15% end-to-end: the
-    custom-call boundary forces the activation to materialise instead of
-    fusing into XLA's surrounding conv pipeline.  XLA's own contraction is
-    therefore the default; set MAUA_PALLAS_GRAM=1 to compare.
+    isolation, but measured IN CONTEXT it loses end-to-end (round-4
+    re-measurement: 31.3 vs 24.3 ms/iter at 1024² Adam): the custom-call
+    boundary forces the activation to materialise instead of fusing into
+    XLA's surrounding conv pipeline.  XLA's own contraction is therefore
+    the default; set MAUA_PALLAS_GRAM=1 to compare.
     """
-    if _USE_PALLAS_GRAM and jax.default_backend() == "tpu":
-        from .ops.pallas_gram import gram_nhwc
-
-        return gram_nhwc(a, use_covariance)
     if a.ndim == 5 and not use_covariance:
         # packed-stem phase view (B, H', W, P, C): contract with phases FOLDED
         # into channels (P*C = 128 — full vector lanes, vs the half-lane C=64
@@ -64,9 +61,17 @@ def _style_gram(a: jax.Array, use_covariance: bool) -> jax.Array:
         # cost.  (Covariance mode centers per-channel across all rows, which
         # does not commute with the fold — it takes the un-folded path.)
         b, hp, w, p, c = a.shape
-        g_pack = batch_gram(a.reshape(b, hp, w, p * c), False)  # (B, PC, PC)
+        g_pack = _gram4(a.reshape(b, hp, w, p * c), False)  # (B, PC, PC)
         blocks = g_pack.reshape(b, p, c, p, c)
         return sum(blocks[:, i, :, i, :] for i in range(p))
+    return _gram4(a, use_covariance)
+
+
+def _gram4(a: jax.Array, use_covariance: bool) -> jax.Array:
+    if _USE_PALLAS_GRAM and a.ndim == 4 and jax.default_backend() == "tpu":
+        from .ops.pallas_gram import gram_nhwc
+
+        return gram_nhwc(a, use_covariance)
     return batch_gram(a, use_covariance)
 
 
