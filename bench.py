@@ -91,6 +91,11 @@ def measure_video_frames_per_min(n_small: int = 4, n_big: int = 12, size: int = 
             "--seed", "0",
             "--scaling_args", f"{tmp}/missing.json",
             "--allow_random_weights",  # bench env ships no flow checkpoints
+            # serving config (configs/args-vid.json), same stance as the image
+            # metric above: the CLI default stays the f32/highest parity
+            # config, which runs the whole frame program ~4.4x slower
+            "--compute_dtype", "bfloat16",
+            "--precision", "default",
         ])
         vid_img(args)
 
