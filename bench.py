@@ -14,13 +14,21 @@ optim.py:201-241) on an RTX 2080 Ti, estimated at ~6.2 MP-iters/s
 (~0.17 s/iter at 1024²; 2080 Ti VGG-19 fwd+bwd ≈ 110 ms + loss/backward/sync
 overhead).  vs_baseline > 5 meets the BASELINE.json wall-clock target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output protocol: a complete JSON result line is printed (and flushed) as
+soon as each battery stage lands, each line a superset of the previous —
+the driver parses the LAST line, so every stage that completes only
+improves the artifact, and an external kill (the driver's timeout SIGTERM,
+which no in-process error handling can catch) costs at most the stage in
+flight, never the metrics already printed.
 
-The second north-star metric, styled video frames/min, is measured by
-default (skip with ``--no-video``): the real vid_img pipeline (flow
-prepass, warped temporal targets, per-frame resume artifacts) on synthetic
-512² frames, as the marginal rate between a 4-frame and a 12-frame run
-(see measure_video_frames_per_min).
+A global wall-clock budget (env ``MAUA_BENCH_BUDGET_S``, default 1200 s)
+gates the optional stages: a stage whose conservative cost estimate no
+longer fits is skipped and listed under ``skipped_after_budget``.
+
+Default battery: image (adam + lbfgs MP-it/s), video frames/min, img_vid
+window-path MP-it/s, NCA steps/s.  CLIP cold-start (two fresh subprocesses,
+~7 min each through a tunneled chip) is OPT-IN via ``--clip``; its standing
+record lives in PERF.md.
 """
 
 import json
@@ -166,6 +174,7 @@ def measure_img_vid_mp_iters(
         run(2 * iters)
         t_2n = time.perf_counter() - start
         rates.append(mp_per_iter * iters / max(t_2n - t_n, 1e-9))
+    _check_finite("img_vid", engine.last_loss_log)
     return {
         "img_vid_mp_iters_per_sec": round(float(np.median(rates)), 3),
         "img_vid_config": {"size": size, "frames": n_frames, "gram_frame_window": gfw,
@@ -256,16 +265,23 @@ def _require_backend(timeout_s: float = 600.0) -> None:
         sys.exit(1)
 
 
+def _check_finite(label: str, values) -> None:
+    """NaN/inf in a benchmark artifact masks real overflow regressions and
+    self-undermines every number next to it — fail loud instead."""
+    arr = np.asarray(values, np.float64)
+    if not np.isfinite(arr).all():
+        raise FloatingPointError(f"{label}: non-finite values in measured losses/metrics")
+
+
 def main():
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("MAUA_BENCH_BUDGET_S", "1200"))
     _require_backend()
-    import jax
     import jax.numpy as jnp
 
     from maua_style_tpu.engine import StyleEngine
     from maua_style_tpu.losses import LossConfig
     from maua_style_tpu.models import select_model, init_params
-
-    import jax.numpy as jnp
 
     size = 1024
     iters_timed = 100
@@ -290,7 +306,13 @@ def main():
         # the rate ~2x (observed 64 vs a real 34 MP-it/s)
         return rng.standard_normal((1, size, size, 3)).astype(np.float32) * 0.001
 
+    def _note(msg: str) -> None:
+        # stderr breadcrumbs with elapsed time: a killed run's tail then
+        # shows WHERE the budget went (VERDICT r4: BENCH_r04 died opaque)
+        print(f"[bench +{time.monotonic() - t_start:.0f}s] {msg}", file=sys.stderr, flush=True)
+
     def measure(optimizer: str) -> float:
+        _note(f"image/{optimizer}: building engine")
         engine = StyleEngine(
             spec,
             params,
@@ -308,7 +330,9 @@ def main():
         # call), but a slow t_n SHRINKS the difference and inflates the
         # rate, so min/max-picking selects contaminated trials either way.
         engine.optimize(content, [style], fresh_init(), iters_timed, blend_weights=[1.0])
+        _note(f"image/{optimizer}: warmup n done")
         engine.optimize(content, [style], fresh_init(), 2 * iters_timed, blend_weights=[1.0])
+        _note(f"image/{optimizer}: warmup 2n done, timing")
 
         rates = []
         for _ in range(3):
@@ -320,6 +344,7 @@ def main():
             t_2n = time.perf_counter() - start
             megapixels = size * size / 1e6
             rates.append(megapixels * iters_timed / max(t_2n - t_n, 1e-9))
+        _check_finite(f"image/{optimizer}", engine.last_loss_log)
         return float(np.median(rates))
 
     def robust(optimizer: str) -> float:
@@ -328,58 +353,95 @@ def main():
         for attempt in range(3):
             try:
                 return measure(optimizer)
+            except FloatingPointError:
+                raise  # a NaN loss is a bug, not tunnel noise
             except Exception as e:
                 if attempt == 2:
                     raise
                 print(f"bench {optimizer} attempt {attempt} failed ({e}); retrying", file=sys.stderr)
         return 0.0
 
-    # both the reference's default optimizer (lbfgs, config.py:47) and adam
-    lbfgs_rate = robust("lbfgs")
-    adam_rate = robust("adam")
-    result = {
+    result: dict = {
         "metric": "megapixel_iters_per_sec_per_chip_1024_gram",
-        "value": round(adam_rate, 3),
+        "value": None,
         "unit": "MP-iters/s/chip",
-        "vs_baseline": round(adam_rate / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3),
-        "lbfgs_value": round(lbfgs_rate, 3),
-        "lbfgs_vs_baseline": round(lbfgs_rate / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3),
         "config": {
             "size": size,
             "compute_dtype": str(np.dtype("float32") if fidelity else "bfloat16"),
             "precision": precision,
             "optimizers": ["lbfgs", "adam"],
         },
+        "budget_s": budget_s,
     }
-    # the second north-star metric (BASELINE.md: styled video frames/min)
-    # runs by DEFAULT so the driver artifact carries it; --no-video skips it,
-    # and a tunnel abort mid-video must not lose the image metrics above
-    if "--no-video" not in sys.argv:
+    skipped: list[str] = []
+
+    def emit() -> None:
+        out = dict(result)
+        if skipped:
+            out["skipped_after_budget"] = list(skipped)
+        out["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(out), flush=True)
+
+    def remaining() -> float:
+        return budget_s - (time.monotonic() - t_start)
+
+    # headline first: the adam rate is the artifact's `value`; a line exists
+    # as soon as it lands, and every later stage only improves the record
+    adam_rate = robust("adam")
+    _check_finite("image/adam rate", adam_rate)
+    result["value"] = round(adam_rate, 3)
+    result["vs_baseline"] = round(adam_rate / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3)
+    emit()
+
+    # the reference's default optimizer (lbfgs, config.py:47)
+    lbfgs_rate = robust("lbfgs")
+    _check_finite("image/lbfgs rate", lbfgs_rate)
+    result["lbfgs_value"] = round(lbfgs_rate, 3)
+    result["lbfgs_vs_baseline"] = round(lbfgs_rate / REFERENCE_BASELINE_MP_ITERS_PER_SEC, 3)
+    emit()
+
+    def stage_video() -> None:
+        vfpm = measure_video_frames_per_min()
+        _check_finite("video rate", vfpm)
+        result["video_frames_per_min"] = round(vfpm, 2)
+        result["video_vs_baseline"] = round(vfpm / REFERENCE_BASELINE_VIDEO_FRAMES_PER_MIN, 3)
+
+    def stage_img_vid() -> None:
+        result.update(measure_img_vid_mp_iters())
+
+    def stage_nca() -> None:
+        # nca_train itself raises on a non-finite chunk loss
+        result["nca_steps_per_sec"] = round(measure_nca_steps_per_sec(), 2)
+
+    def stage_clip() -> None:
+        result.update(measure_clip_startup_s())
+
+    # (name, conservative worst-case cost estimate, runs-by-default, fn).
+    # Estimates are slow-chip-day ceilings (PERF.md round-4 battery timings);
+    # a stage that no longer fits the remaining budget is recorded as
+    # skipped, never silently dropped.
+    stages = [
+        ("video", 540.0, "--no-video" not in sys.argv, stage_video),
+        ("img_vid", 300.0, "--no-img-vid" not in sys.argv, stage_img_vid),
+        ("nca", 300.0, "--no-nca" not in sys.argv, stage_nca),
+        # CLIP cold-start is two ~7-min subprocesses through the tunnel:
+        # opt-in only (VERDICT r4 #1c); the standing record is in PERF.md
+        ("clip", 1000.0, "--clip" in sys.argv, stage_clip),
+    ]
+    for stage_name, est_s, enabled, fn in stages:
+        if not enabled:
+            continue
+        if remaining() < est_s:
+            _note(f"stage {stage_name}: skipped ({remaining():.0f}s left < {est_s:.0f}s estimate)")
+            skipped.append(stage_name)
+            emit()
+            continue
+        _note(f"stage {stage_name}: starting")
         try:
-            vfpm = measure_video_frames_per_min()
-            result["video_frames_per_min"] = round(vfpm, 2)
-            result["video_vs_baseline"] = round(vfpm / REFERENCE_BASELINE_VIDEO_FRAMES_PER_MIN, 3)
-        except Exception as e:  # noqa: BLE001
-            result["video_error"] = f"{type(e).__name__}: {e}"[:200]
-    # the remaining subsystem figures run by DEFAULT so every driver artifact
-    # records them (VERDICT r3 item 3); each is bounded and error-isolated so
-    # a tunnel abort mid-stage never loses the metrics already measured
-    if "--no-img-vid" not in sys.argv:
-        try:
-            result.update(measure_img_vid_mp_iters())
-        except Exception as e:  # noqa: BLE001
-            result["img_vid_error"] = f"{type(e).__name__}: {e}"[:200]
-    if "--no-nca" not in sys.argv:
-        try:
-            result["nca_steps_per_sec"] = round(measure_nca_steps_per_sec(), 2)
-        except Exception as e:  # noqa: BLE001
-            result["nca_error"] = f"{type(e).__name__}: {e}"[:200]
-    if "--no-clip" not in sys.argv:
-        try:
-            result.update(measure_clip_startup_s())
-        except Exception as e:  # noqa: BLE001
-            result["clip_startup_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(result))
+            fn()
+        except Exception as e:  # noqa: BLE001 — stage isolation (in-process errors only)
+            result[f"{stage_name}_error"] = f"{type(e).__name__}: {e}"[:200]
+        emit()
     return result
 
 

@@ -99,7 +99,13 @@ def train(
         k_roll, k_steps = jax.random.split(key)
         step_n = jax.random.randint(k_steps, (), min_rollout, max_rollout)
         x = nca.rollout(params, x, k_roll, step_n, max_steps=max_rollout)
-        grams = calc_styles(jnp.clip(nca.to_rgb(x), 0.0, 1.0))
+        # The loss sees the UNCLIPPED rgb channels (reference NCA_train.py:224-229
+        # clips only when writing images).  This is load-bearing for stability:
+        # the quartic growth of the Gram MSE in the pixel scale is the only
+        # restoring force bounding the CA state — clipping to [0,1] zeroes the
+        # gradient outside the box and the rollout diverges to overflow within
+        # ~20 train steps (measured on-chip; see tests/test_nca.py finiteness test).
+        grams = calc_styles(nca.to_rgb(x))
         grams = [g.mean(axis=0) for g in grams]  # batch-averaged (NCA_train.py:229)
         return style_loss(grams, target_grams), x
 
@@ -150,7 +156,17 @@ def train(
             ca_params, opt_state, pool, rng, done, this
         )
         done += this
-        loss_log.extend(np.asarray(losses, np.float64).tolist())
+        losses = np.asarray(losses, np.float64)
+        if not np.isfinite(losses).all():
+            # fail loud: a NaN loss means the CA rollout or the feature net
+            # overflowed — printing nan (what the reference does,
+            # NCA_train.py:241-247) poisons every artifact downstream
+            bad = int(np.flatnonzero(~np.isfinite(losses))[0])
+            raise FloatingPointError(
+                f"non-finite NCA training loss at step {done - this + bad + 1} "
+                f"(losses[{bad}] = {losses[bad]})"
+            )
+        loss_log.extend(losses.tolist())
         if log_every and (done % log_every == 0 or done == n_steps):
             recent = loss_log[-200:]
             print(

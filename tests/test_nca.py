@@ -98,6 +98,56 @@ def test_nca_training_step_decreases_loss(tmp_path):
     assert os.path.exists(str(tmp_path / "out" / "style_30.png"))
 
 
+def test_nca_loss_restores_out_of_range_pixels(monkeypatch):
+    """The training loss must push back on rgb channels OUTSIDE [0,1]: the
+    quartic growth of the Gram MSE in the pixel scale is the only force
+    bounding the CA state (reference NCA_train.py:224-229 feeds the style net
+    unclipped).  Clipping before the style net zeroes this gradient and the
+    rollout diverges to overflow within ~20 full-config train steps (measured
+    on-chip, round 5) — this is the regression test for that bug."""
+    monkeypatch.setenv("MAUA_ALLOW_RANDOM_WEIGHTS", "1")
+    from maua_style_tpu.pipelines import nca_train as T
+
+    # two shallow layers are enough to witness the restoring force (the full
+    # 5-layer build costs ~14 s of CPU compile; keep the default tier fast)
+    monkeypatch.setattr(T, "STYLE_LAYERS", ("relu1_1", "relu2_1"))
+    calc = T._build_style_fn("vgg16", True)
+    rng = np.random.default_rng(0)
+    target = [g[0] for g in jax.jit(calc)(jnp.asarray(rng.random((1, 16, 16, 3), np.float32)))]
+
+    def loss_of_state(x):
+        grams = [g.mean(axis=0) for g in calc(nca.to_rgb(x))]
+        return T.style_loss(grams, target)
+
+    x = jnp.full((1, 16, 16, 12), 5.0)  # rgb channels far outside [0,1]
+    g = jax.grad(loss_of_state)(x)
+    g_rgb = np.asarray(g[..., :3])
+    assert np.isfinite(g_rgb).all()
+    assert np.abs(g_rgb).max() > 0.0, "no restoring gradient on out-of-range pixels"
+
+
+def test_style_step_finite_at_caffe_scale_bf16():
+    """One engine step on Caffe 255-scale inputs with random weights under the
+    bf16 serving config must produce finite losses (VERDICT r4 #3: bf16 Grams
+    of 255-scale activations are a plausible overflow path; the bench asserts
+    the same on every artifact it records)."""
+    from maua_style_tpu.engine import StyleEngine
+    from maua_style_tpu.losses import LossConfig
+    from maua_style_tpu.models import select_model, init_params
+
+    spec = select_model("vgg16", "max")
+    params = init_params(spec, seed=0)
+    cfg = LossConfig(content_layers=("relu2_2",), style_layers=("relu1_1", "relu2_1", "relu3_1"))
+    engine = StyleEngine(spec, params, cfg, optimizer="adam", learning_rate=1.0,
+                         compute_dtype=jnp.bfloat16, precision="default")
+    rng = np.random.default_rng(0)
+    content = (rng.random((1, 32, 32, 3)).astype(np.float32) * 255.0 - 120.0)
+    style = (rng.random((1, 32, 32, 3)).astype(np.float32) * 255.0 - 120.0)
+    engine.optimize(content, [style], content.copy(), 5, blend_weights=[1.0])
+    assert engine.last_loss_log is not None
+    assert np.isfinite(np.asarray(engine.last_loss_log, np.float64)).all()
+
+
 def test_ca_save_load_roundtrip(tmp_path):
     params = nca.init_ca_params(chn=12, seed=3)
     p = str(tmp_path / "ca.npz")
