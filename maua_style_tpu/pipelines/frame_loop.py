@@ -185,7 +185,7 @@ def run_video_style_passes(
                     frames + frames[: 11 if args.loop else 1],
                     frames[1:] + frames[: 10 if args.loop else 1],
                 ))
-                chain_k = getattr(args, "frame_batch", 0) or 8
+                chain_k = _auto_chain_k(out_hw, args)
                 n = -1
                 while n + 1 < len(pairs):
                     n += 1
@@ -309,13 +309,51 @@ def run_video_style_passes(
         saver.close()
 
 
-def _auto_frame_batch(out_hw: tuple[int, int], requested: int) -> int:
-    """Frames per batched program: the requested --frame_batch, or an
-    HBM-guided default (~8 frames' worth of 512² L-BFGS state), rounded down
-    to a power of two so chunk shapes (and compiles) stay few."""
-    b = requested if requested and requested > 0 else max(1, (8 * 512 * 512) // (out_hw[0] * out_hw[1]))
-    b = min(b, 8)
+def _capacity_kwargs(args) -> dict:
+    """The engine configuration the capacity estimator needs, pulled from the
+    run args (clip_video_style's host path never reaches these helpers, so
+    missing attributes only need safe defaults)."""
+    return dict(
+        lbfgs_history=int(getattr(args, "lbfgs_num_correction", 100) or 100),
+        lbfgs_method=getattr(args, "lbfgs_method", "compact") or "compact",
+        compute_dtype=getattr(args, "compute_dtype", "float32") or "float32",
+    )
+
+
+def _auto_frame_batch(out_hw: tuple[int, int], requested: int, args=None) -> int:
+    """Frames per batched program: the requested --frame_batch, or the
+    capacity estimator's answer for the ACTUAL scale/optimizer/dtype/HBM
+    (tuning.max_sizes.frames_per_program), rounded down to a power of two so
+    chunk shapes (and compiles) stay few."""
+    if requested and requested > 0:
+        b = requested
+    else:
+        from ..tuning.max_sizes import frames_per_program
+
+        b = frames_per_program(
+            getattr(args, "model_file", "vgg19") or "vgg19",
+            getattr(args, "optimizer", "lbfgs") or "lbfgs",
+            out_hw,
+            **_capacity_kwargs(args),
+        )
     return 1 << (b.bit_length() - 1)
+
+
+def _auto_chain_k(out_hw: tuple[int, int], args) -> int:
+    """Chained-scan chunk length: the requested --frame_batch, or the
+    capacity estimator's stacked-inputs answer
+    (tuning.max_sizes.chain_frames_per_program)."""
+    requested = getattr(args, "frame_batch", 0)
+    if requested and requested > 0:
+        return int(requested)
+    from ..tuning.max_sizes import chain_frames_per_program
+
+    return chain_frames_per_program(
+        getattr(args, "model_file", "vgg19") or "vgg19",
+        getattr(args, "optimizer", "lbfgs") or "lbfgs",
+        out_hw,
+        **_capacity_kwargs(args),
+    )
 
 
 def _device_first_pass_batched(
@@ -340,7 +378,7 @@ def _device_first_pass_batched(
         todo[out_path] = (n, this_frame)
 
     items = sorted(todo.items(), key=lambda kv: kv[1][0])
-    batch = _auto_frame_batch(out_hw, getattr(args, "frame_batch", 0))
+    batch = _auto_frame_batch(out_hw, getattr(args, "frame_batch", 0), args)
     bsh = getattr(engine, "_frames_sharding", None)
     if bsh is not None and not (getattr(args, "frame_batch", 0) > 0):
         # a "frames" mesh axis shards each chunk n-ways (DP): per-chip

