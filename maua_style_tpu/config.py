@@ -152,6 +152,16 @@ def get_args(argv=None) -> argparse.Namespace:
     args = parser.parse_args(argv)
 
     output = _output_name(args)
+    # flags the user set explicitly (even to the default value): these win
+    # over BOTH --load_args presets (below) and per-scale scaling-table
+    # entries (set_model_args) — e.g. an explicit --compute_dtype float32
+    # keeps the parity config even where scaling-vid.json selects the bf16
+    # serving one.  A probe parse with suppressed defaults reports exactly
+    # the flags present on the command line.
+    probe = build_parser()
+    for action in probe._actions:
+        action.default = argparse.SUPPRESS
+    cli_set = set(vars(probe.parse_known_args(argv)[0]))
 
     if args.load_args is not None:
         file_args = argparse.Namespace()
@@ -161,9 +171,7 @@ def get_args(argv=None) -> argparse.Namespace:
         non_default = {}
         argdict = vars(args)
         for key in argdict:
-            if argdict[key] != parser.get_default(key):
-                non_default[key] = argdict[key]
-            if key not in file_args.__dict__:
+            if key in cli_set or key not in file_args.__dict__:
                 non_default[key] = argdict[key]
         for key, val in non_default.items():
             setattr(file_args, key, val)
@@ -186,6 +194,7 @@ def get_args(argv=None) -> argparse.Namespace:
     ffargs["framerate"] = args.fps
     args.ffmpeg = ffargs
 
+    args._cli_set = sorted(cli_set)
     return postprocess(args)
 
 
@@ -327,9 +336,12 @@ def set_model_args(args, current_size: int) -> None:
     if params is None:
         print("Warning: no model configuration found for this size, out of memory error is likely...")
         params = list(scaling.values())[-1]
+    cli_set = set(getattr(args, "_cli_set", ()))
     for key, val in params.items():
         if key in ("gpu", "devices"):
             continue  # device *requirements* used for selection, not settings
+        if key in cli_set:
+            continue  # an explicit CLI flag beats the table (parity one flag away)
         args.__dict__[key] = val
 
 

@@ -85,3 +85,33 @@ def test_mesh_flag_parsing():
         ["--content", "c.png", "--style", "s.png", "--gpu", "0,1,2,3", "--mesh", "frames:2,space:2"]
     )
     assert args.mesh_shape == [("frames", 2), ("space", 2)]
+
+
+def test_scaling_table_serving_dtype_cli_wins(tmp_path):
+    """scaling-vid.json ships the bf16 serving config per scale; an explicit
+    CLI --compute_dtype keeps the parity config (VERDICT r4 #7)."""
+    table = {"512": {"optimizer": "lbfgs", "compute_dtype": "bfloat16",
+                     "precision": "default", "devices": 1}}
+    p = tmp_path / "scaling.json"
+    p.write_text(json.dumps(table))
+
+    args = config.get_args(["--content", "c.png", "--style", "s.png",
+                            "--scaling_args", str(p)])
+    config.set_model_args(args, 512)
+    assert args.compute_dtype == "bfloat16" and args.precision == "default"
+
+    args = config.get_args(["--content", "c.png", "--style", "s.png",
+                            "--scaling_args", str(p),
+                            "--compute_dtype", "float32", "--precision", "highest"])
+    config.set_model_args(args, 512)
+    assert args.compute_dtype == "float32" and args.precision == "highest"
+
+
+def test_shipped_vid_tables_select_serving_config():
+    for name_ in ("scaling-vid.json", "scaling-vid-loop.json"):
+        path = config.resolve_config_path(f"configs/{name_}")
+        with open(path) as f:
+            table = json.load(f)
+        for size, entry in table.items():
+            assert entry.get("compute_dtype") == "bfloat16", (name_, size)
+            assert entry.get("precision") == "default", (name_, size)
