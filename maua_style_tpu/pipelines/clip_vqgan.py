@@ -126,6 +126,11 @@ class ClipVQGANEngine:
         else:
             clip_cfg = self.clip.cfg
             self._image_encoder = lambda prm, imgs: CLIP._encode_image(prm, imgs, clip_cfg)
+        # text tower (both backbones use the ViT-style text transformer); the
+        # pure fn is folded into the runner's first-chunk prologue so a
+        # text-guided run loads NO separate text-encoder executable
+        txt_cfg = self.clip.cfg
+        self._encode_text_fn = lambda prm, t: CLIP._encode_text(prm, t, txt_cfg)
 
         def synth(vq_params, z):
             z_q = vq.quantize(z, vq_params["codebook"])
@@ -180,8 +185,10 @@ class ClipVQGANEngine:
     # -- the jitted optimisation loop --------------------------------------
 
     def _runner_for(self, n_iters: int, n_styles: int, has_from: bool, has_to: bool, has_mask: bool,
-                    content_weight: float, style_weight: float, text_weight: float):
-        key = (n_iters, n_styles, has_from, has_to, has_mask, content_weight, style_weight, text_weight)
+                    content_weight: float, style_weight: float, text_weight: float,
+                    text_in_program: bool = False):
+        key = (n_iters, n_styles, has_from, has_to, has_mask, content_weight, style_weight,
+               text_weight, text_in_program)
         if key in self._runners:
             return self._runners[key]
 
@@ -210,18 +217,22 @@ class ClipVQGANEngine:
 
         encode_z_fn = self._encode_z_fn
         embed_cutouts_fn = self._embed_cutouts_fn
+        encode_text_fn = self._encode_text_fn
 
         # z_min/z_max are ARGUMENTS, not closure constants: traced constants
         # are baked into the HLO, so any change in codebook values would
         # change the persistent-cache key and force a fresh multi-minute
         # compile of the scan program (observed: every re-init recompiled).
-        # The first-chunk prologue (z encode, content-cutout embed, Adam
-        # init) runs under lax.cond inside the SAME program, so a whole
-        # optimize() call — any number of chunks — loads exactly ONE big
-        # executable (PERF.md "Process-startup costs": each per-process
-        # load costs 30-125 s through a tunneled chip).
+        # The first-chunk prologue (z encode, content-cutout embed, TEXT
+        # embeds when text_in_program, Adam init) runs under lax.cond inside
+        # the SAME program, so a whole text-guided optimize() call — any
+        # number of chunks — loads exactly ONE device executable
+        # (PERF.md "Process-startup costs": each per-process load costs
+        # 30-125 s through a tunneled chip; round 4 still paid a second load
+        # for the standalone text encoder).
         def run(vq_params, clip_params, first, init01, content01, z_in, opt_state_in, keys, mask,
-                content_embed_in, from_embed, to_embed, style_embeds, embed_key, z_min, z_max):
+                content_embed_in, from_embed, to_embed, style_embeds, embed_key, z_min, z_max,
+                from_tokens, to_tokens):
             z = jax.lax.cond(
                 first,
                 lambda: encode_z_fn(vq_params, init01),
@@ -232,6 +243,18 @@ class ClipVQGANEngine:
                 lambda: embed_cutouts_fn(clip_params, embed_key, content01),
                 lambda: content_embed_in,
             )
+            if text_in_program and has_from:
+                from_embed = jax.lax.cond(
+                    first,
+                    lambda: encode_text_fn(clip_params, from_tokens),
+                    lambda: from_embed,
+                )
+            if text_in_program and has_to:
+                to_embed = jax.lax.cond(
+                    first,
+                    lambda: encode_text_fn(clip_params, to_tokens),
+                    lambda: to_embed,
+                )
             opt_state = jax.lax.cond(
                 first,
                 lambda: opt.init(z),
@@ -254,7 +277,7 @@ class ClipVQGANEngine:
             # ends and the final image all come out of this runner
             z_q = vq.quantize(z, vq_params["codebook"])
             out01 = clamp_with_grad((vq.decode(vq_params, z_q, self.vq_cfg) + 1.0) / 2.0, 0.0, 1.0)
-            return z, opt_state, log, out01, content_embed
+            return z, opt_state, log, out01, content_embed, from_embed, to_embed
 
         self._runners[key] = jax.jit(run, donate_argnums=(5, 6))
         return self._runners[key]
@@ -297,10 +320,30 @@ class ClipVQGANEngine:
         zc = int(self.z_min.shape[-1])
         z_shape = (1, side_y // self.res, side_x // self.res, zc)
         embed_key = self._next_key()  # same key-stream slot embed_image(content) used
-        if target_embeds is None:
-            target_embeds = self.style_targets(styles, content_text, style_text)
-        from_embed, to_embed, style_embeds = target_embeds
-        style_embeds = style_embeds or []
+        clip_params_sds = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), self.clip.params
+        )
+        # with no precomputed targets, text prompts ride into the runner as
+        # TOKENS and embed inside its first-chunk prologue — a text-guided
+        # run then loads exactly one device executable (style images, whose
+        # shapes vary, still embed eagerly via the standalone program)
+        text_in_program = target_embeds is None
+        ctx = int(self.clip.cfg.context_length)
+        if text_in_program:
+            style_embeds = [self.embed_image(s) for s in styles] if styles else []
+            from_tokens = jnp.asarray(tokenize(content_text), jnp.int32) if content_text is not None else None
+            to_tokens = jnp.asarray(tokenize(style_text), jnp.int32) if style_text is not None else None
+            has_from, has_to = from_tokens is not None, to_tokens is not None
+            txt_sds = jax.eval_shape(
+                self._encode_text_fn, clip_params_sds, jax.ShapeDtypeStruct((1, ctx), jnp.int32)
+            )
+            from_embed = np.zeros(txt_sds.shape, txt_sds.dtype) if has_from else None
+            to_embed = np.zeros(txt_sds.shape, txt_sds.dtype) if has_to else None
+        else:
+            from_embed, to_embed, style_embeds = target_embeds
+            style_embeds = style_embeds or []
+            has_from, has_to = from_embed is not None, to_embed is not None
+            from_tokens = to_tokens = None
 
         if mask is not None:
             mask = np.asarray(
@@ -331,20 +374,28 @@ class ClipVQGANEngine:
         losses_log = []
         done = 0
         chunk = iterations if save_every <= 0 else save_every
+        tok_placeholder = jnp.zeros((1, ctx), jnp.int32)
         while done < iterations:
             n = min(chunk, iterations - done)
             runner = self._runner_for(
-                n, len(style_embeds), from_embed is not None, to_embed is not None, mask is not None,
-                content_weight, style_weight, text_weight,
+                n, len(style_embeds), has_from, has_to, mask is not None,
+                content_weight, style_weight, text_weight, text_in_program,
             )
             keys = jax.random.split(self._next_key(), n)
-            z, opt_state, log, out, content_embed = runner(
+            z, opt_state, log, out, content_embed, from_embed_out, to_embed_out = runner(
                 self.vq_params, self.clip.params, np.bool_(first), init01, content01, z, opt_state,
                 keys, mask_arr, content_embed,
                 from_embed if from_embed is not None else jnp.zeros((1, 1)),
                 to_embed if to_embed is not None else jnp.zeros((1, 1)), style_embeds,
                 embed_key, self.z_min, self.z_max,
+                from_tokens if from_tokens is not None else tok_placeholder,
+                to_tokens if to_tokens is not None else tok_placeholder,
             )
+            # later chunks reuse the embeds the first chunk computed in-program
+            if has_from:
+                from_embed = from_embed_out
+            if has_to:
+                to_embed = to_embed_out
             first = False
             losses_log.append(np.asarray(log))
             done += n

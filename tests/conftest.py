@@ -26,3 +26,37 @@ import pytest
 @pytest.fixture(autouse=True)
 def _seed():
     np.random.seed(0)
+
+
+# ---- per-test wall-clock cap -------------------------------------------------
+# pytest-timeout isn't vendored in this image; a SIGALRM cap enforces the
+# two-tier budget contract instead (VERDICT r4 #5: nothing stopped the
+# default tier from creeping past its documented "<5 min").  Defaults are
+# generous multiples of the slowest legitimate test so only runaways trip:
+# override with MAUA_TEST_TIMEOUT / MAUA_SLOW_TEST_TIMEOUT (seconds, 0=off).
+import signal
+
+_DEFAULT_CAP = int(os.environ.get("MAUA_TEST_TIMEOUT", "120"))
+_SLOW_CAP = int(os.environ.get("MAUA_SLOW_TEST_TIMEOUT", "900"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    cap = _SLOW_CAP if item.get_closest_marker("slow") else _DEFAULT_CAP
+    if cap <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _expired(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {cap}s per-test cap "
+            f"(mark it @pytest.mark.slow or raise MAUA_TEST_TIMEOUT)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _expired)
+    signal.alarm(cap)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)

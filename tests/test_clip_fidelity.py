@@ -238,6 +238,7 @@ def _det_cutouts_torch(x_nhwc, cut_size, cutn):
     return _TClampWithGrad.apply(torch.stack([out] * cutn), 0.0, 1.0)
 
 
+@pytest.mark.slow
 def test_clip_vqgan_loss_loop_matches_torch_oracle(monkeypatch):
     import maua_style_tpu.pipelines.clip_vqgan as cv
     from maua_style_tpu.models import vqgan as vq

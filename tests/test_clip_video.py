@@ -10,6 +10,7 @@ from PIL import Image
 from maua_style_tpu import config
 
 
+@pytest.mark.slow
 def test_clip_video_style_end_to_end(tmp_path, monkeypatch):
     import maua_style_tpu.pipelines.clip_vqgan as cv
     from maua_style_tpu.models import vqgan as vq

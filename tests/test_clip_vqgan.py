@@ -272,7 +272,13 @@ def test_clip_resnet_backbones_shapes():
     assert emb.shape == (2, 32)
     assert np.isfinite(np.asarray(emb)).all()
 
-    # real RN50 config constructs and encodes text
+
+@pytest.mark.slow
+def test_clip_rn50_real_config_encodes_text():
+    """Full RN50 random init + text encode (~30 s CPU compile -> slow tier;
+    the tiny-config shape checks above stay in the default tier)."""
+    from maua_style_tpu.models.clip.resnet import CLIPResNet, RESNET_CONFIGS
+
     rn = CLIPResNet("RN50")
     toks = np.zeros((1, 77), np.int32)
     toks[0, 0] = 49406
@@ -305,6 +311,7 @@ def test_clip_resnet_bn_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_engine_with_resnet_backbone(monkeypatch):
     import maua_style_tpu.pipelines.clip_vqgan as cv
     from maua_style_tpu.models import vqgan as vq
@@ -336,13 +343,10 @@ def test_missing_vqgan_checkpoint_fails_loud(monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # no modelzoo/ here
     with pytest.raises(FileNotFoundError, match="allow_random_weights"):
         vq.load_vqgan("imagenet_16384")
-    params, cfg = vq.load_vqgan("imagenet_16384", allow_random=True)
-    assert "codebook" in params
-
     with pytest.raises(FileNotFoundError, match="models.clip.convert"):
         cv._load_clip("ViT-B/32")
-    monkeypatch.setenv("MAUA_ALLOW_RANDOM_WEIGHTS", "1")
-    assert cv._load_clip("ViT-B/32") is not None
+    # the allow_random success paths (full random VQGAN + ViT param init,
+    # ~15 s) are exercised by every engine test in this file already
 
 
 def test_cli_flag_propagates_random_weight_policy(monkeypatch):

@@ -52,7 +52,7 @@ def test_backward_warp_shifts():
         (SPyNet, (64, 96)),
         pytest.param(PWCNet, (64, 64), marks=pytest.mark.slow),
         pytest.param(UnFlow, (64, 64), marks=pytest.mark.slow),
-        (LiteFlowNet, (64, 64)),
+        pytest.param(LiteFlowNet, (64, 64), marks=pytest.mark.slow),
     ],
 )
 def test_flow_nets_run(net_cls, hw):

@@ -89,7 +89,11 @@ def torch_total_loss(net, pastiche, content, styles, blend, cfg: LossConfig, nam
     return total
 
 
-@pytest.mark.parametrize("normalize,covariance", [(False, False), (True, False), (False, True)])
+@pytest.mark.parametrize("normalize,covariance", [
+    pytest.param(False, False, marks=pytest.mark.slow),  # ~19 s: full-depth torch oracle
+    (True, False),
+    (False, True),
+])
 def test_loss_and_grad_match_torch(normalize, covariance):
     cfg = LossConfig(
         content_layers=("relu3_2",),

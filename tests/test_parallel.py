@@ -229,6 +229,7 @@ def test_per_frame_program_strips_frames_axis():
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p0), atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vid_img_cli_on_frames_mesh(tmp_path):
     """vid_img end-to-end through config --mesh frames:2,space:2: the batched
     first pass DP-shards frames, the chained second pass runs frames-stripped

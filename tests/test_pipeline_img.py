@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import numpy as np
 from PIL import Image
 
@@ -35,6 +37,7 @@ def _tiny_args(tmp_path, extra=()):
     return config.get_args(argv)
 
 
+@pytest.mark.slow
 def test_img_img_end_to_end(tmp_path):
     args = _tiny_args(tmp_path)
     os.makedirs(str(tmp_path / "out"), exist_ok=True)
@@ -57,6 +60,7 @@ def test_img_img_resume_skips_done_scales(tmp_path):
     assert os.path.exists(f"{args.output}_24.png")
 
 
+@pytest.mark.slow
 def test_img_img_init_content(tmp_path):
     args = _tiny_args(tmp_path, extra=("--init", "content", "--no_hist_match"))
     os.makedirs(str(tmp_path / "out"), exist_ok=True)
@@ -158,6 +162,7 @@ def test_img_img_cli_mesh_end_to_end(tmp_path):
     assert final.std() > 0  # optimisation ran (not a blank artifact)
 
 
+@pytest.mark.slow
 def test_fidelity_vs_reference_tool(tmp_path, capsys):
     """tools/fidelity_vs_reference.py stages the BASELINE.md SSIM north star
     (>=0.98 at 1024² once real weights exist); here it runs the same small

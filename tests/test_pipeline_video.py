@@ -22,6 +22,7 @@ def _make_image(path, seed=1, size=24):
     Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8).astype(np.uint8)).save(path)
 
 
+@pytest.mark.slow
 def test_vid_img_end_to_end(tmp_path):
     from maua_style_tpu.pipelines.vid_img import vid_img
 
@@ -57,6 +58,7 @@ def test_vid_img_end_to_end(tmp_path):
     assert os.path.exists(f"{out_dir}/vid_style_16.npy") or os.path.exists(f"{out_dir}/vid_style_16.mp4")
 
 
+@pytest.mark.slow
 def test_vid_img_frame_resume(tmp_path):
     """Already-rendered frames are skipped on re-run (reference style.py:198)."""
     from maua_style_tpu.pipelines import vid_img as vi
