@@ -36,8 +36,16 @@ over (pixels, phases) — see ops/gram.py which accepts any (B, ..., C).
 
 from __future__ import annotations
 
+import os
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+
+# A/B kill-switch for the matmul-backward conv1_1 (perf tooling only)
+_SMALLCIN_VJP = os.environ.get("MAUA_SMALLCIN_VJP", "1") == "1"
+# A/B switch: fixup-form blocked conv (no halo copy) vs halo-concat form
+_HALO_FIXUP = os.environ.get("MAUA_HALO_FIXUP", "0") == "1"
 
 
 def pack_rows(x: jax.Array) -> jax.Array:
@@ -100,6 +108,99 @@ def _halo_blocked_conv3x3(xp: jax.Array, kern: jax.Array, bk: int, precision) ->
     return y.reshape(1, h2, w, y.shape[-1])
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_smallcin(x: jax.Array, kern: jax.Array, precision) -> jax.Array:
+    """3x3/pad-1 conv for FEW input channels (the packed conv1_1: cin=6) with
+    a hand-written matmul backward.
+
+    XLA's transposed-conv input gradient emits cin output lanes — 6 of 128,
+    ~5% MXU utilisation, 0.7 ms/iter of the 1024² style step (PERF.md trace
+    anatomy).  Here dx is ONE (HW, cout) x (cout, 9*cin) matmul whose lane
+    dim is 9*cin=54, followed by 9 shifted adds (a fused col2im); dw is one
+    im2col patches^T @ g matmul.  Forward is the plain conv (cin is the
+    CONTRACTED dim there, so it is not lane-starved)."""
+    return _conv3x3_plain(x, kern, precision)
+
+
+def _conv3x3_plain(x, kern, precision):
+    return jax.lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+
+
+def _smallcin_fwd(x, kern, precision):
+    return _conv3x3_plain(x, kern, precision), (x, kern)
+
+
+def _smallcin_bwd(precision, res, g):
+    x, kern = res
+    b, h, w, cin = x.shape
+    cout = kern.shape[3]
+    # dx[p,q,a] = sum_{u,v,o} g[p+1-u, q+1-v, o] * k[u,v,a,o]
+    k2 = kern.reshape(9 * cin, cout)
+    t = jax.lax.dot_general(
+        g, k2, dimension_numbers=(((3,), (1,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ).reshape(b, h, w, 3, 3, cin)
+    tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
+    dx = sum(
+        tp[:, 2 - u : 2 - u + h, 2 - v : 2 - v + w, u, v, :]
+        for u in range(3)
+        for v in range(3)
+    ).astype(x.dtype)
+    # dw[u,v,a,o] = sum_{p,q} x[p+u-1, q+v-1, a] * g[p,q,o]  (im2col^T @ g)
+    xp_pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack(
+        [xp_pad[:, u : u + h, v : v + w, :] for u in range(3) for v in range(3)], axis=3
+    )  # (B, H, W, 9, cin)
+    dk = jax.lax.dot_general(
+        patches.reshape(-1, 9 * cin), g.reshape(-1, cout),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=precision, preferred_element_type=jnp.float32,
+    ).reshape(3, 3, cin, cout).astype(kern.dtype)
+    return dx, dk
+
+
+conv3x3_smallcin.defvjp(_smallcin_fwd, _smallcin_bwd)
+
+
+def _halo_fixup_conv3x3(xp: jax.Array, kern: jax.Array, bk: int, precision) -> jax.Array:
+    """Blocked 3x3/pad-1 conv WITHOUT materialising the (bk+2)-row halo copy.
+
+    The halo-concat variant (_halo_blocked_conv3x3) copies the whole
+    activation into a (nb, bk+2, W, C) buffer and its backward un-copies it
+    (~0.8 ms/iter of pure copy at 1024², PERF.md trace anatomy).  Here each
+    block convolves with its own zero padding and the two missing cross-block
+    tap rows are added as 1-row W-conv fixups:
+
+        y[i, 0]    += conv_W(core[i-1, bk-1], kern_row0)
+        y[i, bk-1] += conv_W(core[i+1, 0],    kern_row2)
+
+    — two (nb-1, 1, W, C) convs and two row-slice adds instead of a
+    full-tensor copy each way.  Identical math (global pad-1 comes from the
+    absent fixup at the outermost boundaries)."""
+    _, h2, w, c = xp.shape
+    nb = h2 // bk
+    core = xp.reshape(nb, bk, w, c)
+    y = jax.lax.conv_general_dilated(
+        core, kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+    )
+    if nb > 1:
+        def row_conv(rows, krow):  # rows (nb-1, W, C), krow (1, 3, C, cout)
+            return jax.lax.conv_general_dilated(
+                rows[:, None], krow, (1, 1), [(0, 0), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision,
+            )[:, 0]
+
+        top_fix = row_conv(core[:-1, -1], kern[0:1])  # into y[i, 0], i >= 1
+        bot_fix = row_conv(core[1:, 0], kern[2:3])  # into y[i, bk-1], i < nb-1
+        y = y.at[1:, 0].add(top_fix)
+        y = y.at[:-1, bk - 1].add(bot_fix)
+    return y.reshape(1, h2, w, y.shape[-1])
+
+
 def packed_conv3x3(
     xp: jax.Array, w: jax.Array, b: jax.Array, precision=jax.lax.Precision.DEFAULT
 ) -> jax.Array:
@@ -118,9 +219,15 @@ def packed_conv3x3(
         w = _packed_kernel(w)
     kern = w.astype(xp.dtype)
     h2 = xp.shape[1]
-    if xp.shape[0] == 1 and h2 >= 64 and h2 % 8 == 0:
+    if kern.shape[2] <= 8 and _SMALLCIN_VJP:
+        # packed conv1_1 (cin=6): matmul backward beats both the halo-blocked
+        # and XLA's transposed-conv input grad (lane starvation, see
+        # conv3x3_smallcin)
+        y = conv3x3_smallcin(xp, kern, precision)
+    elif xp.shape[0] == 1 and h2 >= 64 and h2 % 8 == 0:
         bk = 16 if h2 % 16 == 0 and h2 >= 128 else 8
-        y = _halo_blocked_conv3x3(xp, kern, bk, precision)
+        conv = _halo_fixup_conv3x3 if _HALO_FIXUP else _halo_blocked_conv3x3
+        y = conv(xp, kern, bk, precision)
     else:
         y = jax.lax.conv_general_dilated(
             xp,

@@ -150,3 +150,56 @@ def test_halo_blocked_conv_matches_plain():
         g_b = jax.vjp(blocked, xp)[1](ct)[0]
         g_p = jax.vjp(plain, xp)[1](ct)[0]
         np.testing.assert_allclose(g_b, g_p, atol=1e-4)
+
+
+def test_smallcin_conv_custom_vjp_matches_autodiff():
+    """conv3x3_smallcin (matmul backward for the cin<=8 packed conv1_1) is
+    exact vs XLA's conv autodiff in values, input grads and weight grads."""
+    import jax
+
+    from maua_style_tpu.ops.packed_stem import _conv3x3_plain, conv3x3_smallcin
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 12, 14, 6)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 6, 16)).astype(np.float32))
+    ct = jnp.asarray(rng.standard_normal((2, 12, 14, 16)).astype(np.float32))
+    prec = jax.lax.Precision.HIGHEST
+
+    y_c = conv3x3_smallcin(x, k, prec)
+    y_p = _conv3x3_plain(x, k, prec)
+    np.testing.assert_allclose(np.asarray(y_c), np.asarray(y_p), atol=1e-4)
+
+    gx_c, gk_c = jax.vjp(lambda x, k: conv3x3_smallcin(x, k, prec), x, k)[1](ct)
+    gx_p, gk_p = jax.vjp(lambda x, k: _conv3x3_plain(x, k, prec), x, k)[1](ct)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_c), np.asarray(gk_p), rtol=1e-5, atol=1e-3)
+
+
+def test_halo_fixup_conv_matches_plain():
+    """The fixup-form blocked conv (no halo copy) is exact vs the unblocked
+    packed conv in values and grads."""
+    import jax
+
+    from maua_style_tpu.ops.packed_stem import _halo_fixup_conv3x3, _packed_kernel
+
+    rng = np.random.default_rng(8)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 6)).astype(np.float32))
+    kern = _packed_kernel(w)
+    for h2, bk in [(64, 8), (128, 16), (16, 16)]:  # multi-block and single-block
+        xp = jnp.asarray(rng.standard_normal((1, h2, 40, 8)).astype(np.float32))
+
+        def plain(x):
+            return jax.lax.conv_general_dilated(
+                x, kern, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        def fixup(x):
+            return _halo_fixup_conv3x3(x, kern, bk, jax.lax.Precision.HIGHEST)
+
+        np.testing.assert_allclose(fixup(xp), plain(xp), atol=1e-4)
+        ct = jnp.asarray(rng.standard_normal((1, h2, 40, 12)).astype(np.float32))
+        g_b = jax.vjp(fixup, xp)[1](ct)[0]
+        g_p = jax.vjp(plain, xp)[1](ct)[0]
+        np.testing.assert_allclose(g_b, g_p, atol=1e-4)
