@@ -14,6 +14,7 @@ the Gram psum automatically (see maua_style_tpu/parallel).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Any, Callable, Sequence
 
@@ -34,6 +35,9 @@ from ..models.extractor import ExtractorSpec, apply_extractor, prepare_params, t
 from ..utils import wrapping_indices
 from .lbfgs import lbfgs
 from .windows import compute_windows, overlap_grad_mask, window_overlaps
+
+# A/B kill-switch for the frozen-split window runner (see _runner)
+_WINDOW_SPLIT = os.environ.get("MAUA_WINDOW_SPLIT", "1") == "1"
 
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
@@ -228,8 +232,18 @@ class StyleEngine:
             return optax.adam(self.learning_rate)
         raise ValueError(f"unknown optimizer {self.optimizer_name}")
 
-    def _runner(self, n_iters: int, scale_key: tuple, masked: bool):
-        key = (n_iters, scale_key, masked, self.optimizer_name)
+    def _runner(self, n_iters: int, scale_key: tuple, masked: bool, frozen: tuple[int, int] | None = None):
+        """``frozen=(fo, eo)`` selects the frozen-split window runner: the
+        first ``fo`` and last ``eo`` frames of the window are grad-masked by
+        the schedule (reference optim.py:215-219), and a zero gradient means
+        they NEVER move — Adam's moments stay zero, and every L-BFGS (s, y)
+        pair is zero on their coordinates, so the two-loop direction is too.
+        Their feature extraction is therefore hoisted out of the scan (done
+        once per chunk); the per-iteration forward+backward runs only on the
+        active middle slice, and the losses see the concatenated activations,
+        so values and gradients are bit-for-bit the masked computation's
+        (test_engine: test_window_frozen_split_matches_masked)."""
+        key = (n_iters, scale_key, masked, frozen, self.optimizer_name)
         if key in self._runners:
             return self._runners[key]
 
@@ -268,6 +282,40 @@ class StyleEngine:
                 tw = targets.pop("temporal_warp")
                 warped = grid_sample(tw["src"], tw["map"])
                 targets["temporal"] = capture_temporal_targets(warped, tw.get("weights"))
+
+            if frozen is not None:
+                fo, eo = frozen
+                t_w = pastiche.shape[0]
+                front, end = pastiche[:fo], pastiche[t_w - eo :]
+                # frozen frames are constant through the scan: extract their
+                # loss-layer activations ONCE per chunk instead of every
+                # iteration (at the default schedule this is 1/3 of all
+                # window frame-extractions)
+                fro_acts = extract(prm, jnp.concatenate([front, end], axis=0), cfg.all_layers)
+                fro_acts = jax.lax.stop_gradient(fro_acts)
+
+                def loss_fn(pa):
+                    acts_a = extract(prm, pa, cfg.all_layers)
+                    acts = {
+                        l: jnp.concatenate([fro_acts[l][:fo], acts_a[l], fro_acts[l][fo:]], axis=0)
+                        for l in acts_a
+                    }
+                    p_full = jnp.concatenate([front, pa, end], axis=0)
+                    return evaluate_losses(p_full, acts, targets, cfg, scale)
+
+                def step(carry, _):
+                    pa, st = carry
+                    (total, per), grad = jax.value_and_grad(loss_fn, has_aux=True)(pa)
+                    updates, st2 = opt.update(grad.astype(jnp.float32), st, pa)
+                    pa = optax.apply_updates(pa, updates)
+                    if self.pastiche_sharding is not None:
+                        pa = jax.lax.with_sharding_constraint(pa, self.pastiche_sharding)
+                    return (pa, st2), per
+
+                (pa, st), log = jax.lax.scan(
+                    step, (pastiche[fo : t_w - eo], opt_state), length=n_iters
+                )
+                return jnp.concatenate([front, pa, end], axis=0), st, log
 
             def loss_fn(p):
                 acts = extract(prm, p, cfg.all_layers)
@@ -814,15 +862,29 @@ class StyleEngine:
                 # 1-frame window regardless of gram_frame_window)
                 mask = jnp.asarray(overlap_grad_mask(len(idx), w, front_overlap, end_overlap))
                 masked = w != 0
+                # frozen-split eligibility (see _runner): grad-masked frames
+                # never move, so hoist their extraction out of the scan.
+                # Checkpointed runs keep the full-window path (the saved
+                # optimizer-state shape must match the resume probe).
+                frozen = None
+                if masked and run_checkpoint is None and _WINDOW_SPLIT:
+                    t_w = len(idx)
+                    fo = max(0, min(front_overlap, t_w))
+                    eo = min(end_overlap, t_w) if end_overlap > 0 else 0
+                    if fo + eo > 0 and t_w - fo - eo > 0:
+                        frozen = (fo, eo)
             else:
                 pastiche = init
                 idx = None
                 mask = jnp.ones((1, 1, 1, 1), jnp.float32)
                 masked = False
+                frozen = None
 
             scale_key = self._strength_scale(targets)
             self._make_optimizer()
-            opt_state = self._jit_opt_init(pastiche)
+            opt_state = self._jit_opt_init(
+                pastiche[frozen[0] : pastiche.shape[0] - frozen[1]] if frozen is not None else pastiche
+            )
             done = 0
             if resume is not None and w == resume[2]:
                 pastiche, opt_state, _, done = resume
@@ -836,7 +898,7 @@ class StyleEngine:
             profiled = False
             while done < num_iters:
                 this = min(chunk, num_iters - done)
-                runner = self._runner(this, scale_key, masked)
+                runner = self._runner(this, scale_key, masked, frozen)
                 if profile_dir is not None and not profiled:
                     # compile outside the trace (no execution: args are donated)
                     runner.lower(self.params, pastiche, opt_state, targets, mask).compile()

@@ -257,3 +257,35 @@ def test_optimize_frames_batch_matches_per_frame():
             # a cross-frame coupling bug would diverge to O(full scale)
             assert np.abs(np.asarray(pb)[i] - p1).max() < 1e-2, (optimizer, init_mode)
             assert np.abs(np.asarray(db)[i].astype(int) - d1.astype(int)).max() <= 1
+
+
+def test_window_frozen_split_matches_masked():
+    """The frozen-split window runner (extraction of grad-masked frames
+    hoisted out of the scan) must reproduce the masked full-window
+    computation: same loss graph, gradients restricted to the active slice,
+    zero updates on frozen frames (engine/optimize._runner)."""
+    import maua_style_tpu.engine.optimize as eo
+
+    for optimizer in ("adam", "lbfgs"):
+        outs = []
+        for split in (False, True):
+            np.random.seed(0)
+            cfg, net, spec, params, engine = _small_setup(optimizer=optimizer)
+            content = np.random.rand(1, 16, 16, 3).astype(np.float32)
+            style = np.random.rand(8, 16, 16, 3).astype(np.float32)
+            init = np.random.randn(8, 16, 16, 3).astype(np.float32) * 0.001
+            old = eo._WINDOW_SPLIT
+            eo._WINDOW_SPLIT = split
+            try:
+                out = engine.optimize(
+                    content, [style], init, 3,
+                    transfer_type="img_vid", blend_weights=[1.0],
+                    gram_frame_window=4, avg_frame_window=-1,
+                )
+            finally:
+                eo._WINDOW_SPLIT = old
+            outs.append(out)
+        np.testing.assert_allclose(
+            outs[0], outs[1], rtol=2e-4, atol=2e-4,
+            err_msg=f"frozen-split diverges from masked path ({optimizer})",
+        )
