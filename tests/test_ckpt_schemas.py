@@ -59,12 +59,15 @@ class TrackingDict(dict):
 
 
 FEATURE_NETS = [
-    ("vgg19.txt", "vgg19", 16),
-    ("vgg16.txt", "vgg16", 13),
+    # one VGG16-family representative + nin stay in the default tier; the
+    # remaining nets exercise the same converter path and run in the slow
+    # tier (two-tier budget, README)
+    pytest.param("vgg19.txt", "vgg19", 16, marks=pytest.mark.slow),
+    pytest.param("vgg16.txt", "vgg16", 13, marks=pytest.mark.slow),
     ("vgg16-sod.txt", "sod", 13),
-    ("fcn32s-heavy-pascal.txt", "fcn32s", 13),
-    ("nyud-fcn32s-color-heavy.txt", "nyud", 13),
-    ("vgg16-prune.txt", "prune", 13),
+    pytest.param("fcn32s-heavy-pascal.txt", "fcn32s", 13, marks=pytest.mark.slow),
+    pytest.param("nyud-fcn32s-color-heavy.txt", "nyud", 13, marks=pytest.mark.slow),
+    pytest.param("vgg16-prune.txt", "prune", 13, marks=pytest.mark.slow),
     ("nin_imagenet.txt", "nin", 12),
 ]
 
@@ -152,6 +155,7 @@ def test_clip_rn50_schema_converts_fully():
     assert not unread, f"published keys never consumed: {sorted(unread)[:8]}"
 
 
+@pytest.mark.slow
 def test_clip_rn50_converted_params_run():
     """Converted RN50 params drive the real encode path (channel wiring check)."""
     import jax.numpy as jnp
@@ -265,6 +269,7 @@ def test_unflow_css_schema_converts_fully():
 # --download_weights self-provisioning (mocked fetcher; no egress here)
 
 
+@pytest.mark.slow
 def test_download_weights_provisions_and_converts(tmp_path, monkeypatch):
     """--download_weights restores the reference's auto-download
     (models.py:255-347): fetch the published artifact, convert to .npz."""

@@ -57,6 +57,7 @@ def test_clip_video_style_end_to_end(tmp_path, monkeypatch):
     assert img.ndim == 3 and np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_clip_video_update_styles_per_scale_and_mask_quirk(tmp_path, monkeypatch):
     """Per-scale style re-encoding (reference clip_video_style.py:57-58) and
     the mask-computed-but-unused quirk (clip_video_style.py:164->173): the

@@ -135,6 +135,7 @@ def test_tokenizer_fallback_warns_once(capsys, monkeypatch):
     assert capsys.readouterr().out == ""  # one-time
 
 
+@pytest.mark.slow
 def test_clip_encoders_shapes():
     from maua_style_tpu.models.clip import CLIP
     from maua_style_tpu.models.clip.model import CLIPConfig
@@ -174,6 +175,7 @@ def test_clip_attention_matches_torch():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vqgan_roundtrip_shapes():
     from maua_style_tpu.models import vqgan as vq
 
@@ -261,6 +263,7 @@ def test_clip_vqgan_engine_end_to_end(monkeypatch):
     assert out2.shape == (1, 34, 32, 3)
 
 
+@pytest.mark.slow
 def test_clip_resnet_backbones_shapes():
     from maua_style_tpu.models.clip.resnet import CLIPResNet, RESNET_CONFIGS, ResNetConfig, init_resnet_visual, encode_image_resnet
 

@@ -2,6 +2,7 @@
 of the reference hot loop (optim.py:201-241), plus smoke/convergence tests."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -150,9 +151,9 @@ def test_run_checkpoint_resume_preserves_optimizer_state(tmp_path):
     calls = []
     orig_runner = engine2._runner
 
-    def counting_runner(n, sk, m):
+    def counting_runner(n, sk, m, frozen=None):
         calls.append(n)
-        return orig_runner(n, sk, m)
+        return orig_runner(n, sk, m, frozen)
 
     engine2._runner = counting_runner
     # first phase: checkpoint after 5, then raise to simulate a crash
@@ -259,14 +260,15 @@ def test_optimize_frames_batch_matches_per_frame():
             assert np.abs(np.asarray(db)[i].astype(int) - d1.astype(int)).max() <= 1
 
 
-def test_window_frozen_split_matches_masked():
+@pytest.mark.parametrize("optimizer", ["adam", pytest.param("lbfgs", marks=pytest.mark.slow)])
+def test_window_frozen_split_matches_masked(optimizer):
     """The frozen-split window runner (extraction of grad-masked frames
     hoisted out of the scan) must reproduce the masked full-window
     computation: same loss graph, gradients restricted to the active slice,
     zero updates on frozen frames (engine/optimize._runner)."""
     import maua_style_tpu.engine.optimize as eo
 
-    for optimizer in ("adam", "lbfgs"):
+    if True:
         outs = []
         for split in (False, True):
             np.random.seed(0)

@@ -88,6 +88,7 @@ def test_pastiche_sharding_for_policy():
     assert pastiche_sharding_for(a1) is None
 
 
+@pytest.mark.slow
 def test_sharded_video_windows_match_single_device():
     """Gram frame windows + frame-parallel sharding compose: windowed video
     optimization on a mesh equals single-device."""
@@ -159,6 +160,7 @@ def test_pack_stem_defaults_off_for_multi_device():
     assert forced.pack_stem is True
 
 
+@pytest.mark.slow
 def test_sharded_vqgan_decode_matches_single_device():
     """VQGAN decoder under GSPMD spatial sharding (the reference's 2-GPU
     hook-based decoder split, clip_vqgan.py:379-418, subsumed): sharded

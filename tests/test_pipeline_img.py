@@ -68,6 +68,7 @@ def test_img_img_init_content(tmp_path):
     assert os.path.exists(f"{args.output}_24.png")
 
 
+@pytest.mark.slow
 def test_img_img_flag_branches(tmp_path, capsys):
     """Exercise --init file, --original_colors, --use_covariance, multiple
     styles, style-directory expansion, and --print_iter in one tiny run."""
@@ -102,6 +103,7 @@ def test_img_img_flag_branches(tmp_path, capsys):
     assert "Iteration 2 / 4" in out and "Iteration 4 / 4" in out
 
 
+@pytest.mark.slow
 def test_img_img_multi_style_blend(tmp_path):
     content = str(tmp_path / "c.png")
     s1 = str(tmp_path / "s1.png")
