@@ -46,6 +46,15 @@ import jax.numpy as jnp
 _SMALLCIN_VJP = os.environ.get("MAUA_SMALLCIN_VJP", "1") == "1"
 # A/B switch: fixup-form blocked conv (no halo copy) vs halo-concat form
 _HALO_FIXUP = os.environ.get("MAUA_HALO_FIXUP", "0") == "1"
+# A/B switch: explicit H-blocking of the big packed convs (needed when the
+# program contains ops XLA's space-to-batch pass can't propagate gradients
+# through, e.g. L-BFGS history dots; plain conv otherwise — the blocked
+# form's producer/consumer layout conversions cost ~2-3 ms/iter at 1024²,
+# see PERF.md round-5 HLO copy audit)
+_BLOCK_STEM = os.environ.get("MAUA_BLOCK_STEM", "1") == "1"
+# A/B switch: bf16 col2im intermediate in the smallcin backward (halves the
+# 113 MB f32 `t` buffer; one extra bf16 rounding vs the f32 path)
+_SMALLCIN_BF16 = os.environ.get("MAUA_SMALLCIN_BF16", "0") == "1"
 
 
 def pack_rows(x: jax.Array) -> jax.Array:
@@ -139,9 +148,10 @@ def _smallcin_bwd(precision, res, g):
     cout = kern.shape[3]
     # dx[p,q,a] = sum_{u,v,o} g[p+1-u, q+1-v, o] * k[u,v,a,o]
     k2 = kern.reshape(9 * cin, cout)
+    t_dtype = jnp.bfloat16 if _SMALLCIN_BF16 else jnp.float32
     t = jax.lax.dot_general(
         g, k2, dimension_numbers=(((3,), (1,)), ((), ())),
-        precision=precision, preferred_element_type=jnp.float32,
+        precision=precision, preferred_element_type=t_dtype,
     ).reshape(b, h, w, 3, 3, cin)
     tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0)))
     dx = sum(
@@ -224,7 +234,7 @@ def packed_conv3x3(
         # and XLA's transposed-conv input grad (lane starvation, see
         # conv3x3_smallcin)
         y = conv3x3_smallcin(xp, kern, precision)
-    elif xp.shape[0] == 1 and h2 >= 64 and h2 % 8 == 0:
+    elif xp.shape[0] == 1 and h2 >= 64 and h2 % 8 == 0 and _BLOCK_STEM:
         bk = 16 if h2 % 16 == 0 and h2 >= 128 else 8
         conv = _halo_fixup_conv3x3 if _HALO_FIXUP else _halo_blocked_conv3x3
         y = conv(xp, kern, bk, precision)

@@ -155,7 +155,13 @@ def test_halo_blocked_conv_matches_plain():
 def test_smallcin_conv_custom_vjp_matches_autodiff():
     """conv3x3_smallcin (matmul backward for the cin<=8 packed conv1_1) is
     exact vs XLA's conv autodiff in values, input grads and weight grads."""
+    import os
+
     import jax
+    import pytest
+
+    if os.environ.get("MAUA_SMALLCIN_BF16") == "1":
+        pytest.skip("bf16 col2im experiment flag set: backward is rounded, not exact")
 
     from maua_style_tpu.ops.packed_stem import _conv3x3_plain, conv3x3_smallcin
 
