@@ -209,3 +209,18 @@ def test_halo_fixup_conv_matches_plain():
         g_b = jax.vjp(fixup, xp)[1](ct)[0]
         g_p = jax.vjp(plain, xp)[1](ct)[0]
         np.testing.assert_allclose(g_b, g_p, atol=1e-4)
+
+
+def test_block_stem_gate_plain_conv_matches(monkeypatch):
+    """MAUA_BLOCK_STEM=0 (plain conv instead of explicit H-blocking; PERF.md
+    round-5 layout A/B) must be numerically identical to the blocked default."""
+    import maua_style_tpu.ops.packed_stem as ps
+
+    rng = np.random.default_rng(7)
+    xp = jnp.asarray(rng.standard_normal((1, 64, 32, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 16)).astype(np.float32) * 0.05)
+    b = jnp.zeros((16,), jnp.float32)
+    blocked = ps.packed_conv3x3(xp, w, b)
+    monkeypatch.setattr(ps, "_BLOCK_STEM", False)
+    plain = ps.packed_conv3x3(xp, w, b)
+    np.testing.assert_allclose(np.asarray(blocked), np.asarray(plain), atol=1e-4)
