@@ -385,6 +385,14 @@ def main():
     def remaining() -> float:
         return budget_s - (time.monotonic() - t_start)
 
+    # a parseable line exists from the very start: on a wedged tunnel hour
+    # (observed: single executable loads taking 10+ min) the driver's
+    # timeout then finds a structured record with elapsed time instead of
+    # an empty artifact (BENCH_r04's failure mode)
+    result["note"] = "headline in progress"
+    emit()
+    del result["note"]
+
     # headline first: the adam rate is the artifact's `value`; a line exists
     # as soon as it lands, and every later stage only improves the record
     adam_rate = robust("adam")
