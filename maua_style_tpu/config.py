@@ -138,6 +138,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="orbax run-state checkpoint interval in iterations (0=off); resumes optimizer state across crashes")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of one optimization chunk into this directory")
+    parser.add_argument("--fuse_scales", action="store_true",
+                        help="img_img: run the whole multi-resolution pyramid as ONE device program "
+                             "(one executable load per run instead of one per scale); incompatible "
+                             "with --save_iter/--checkpoint_every and per-scale model swaps "
+                             "(falls back to the per-scale loop with a warning)")
     parser.add_argument("--load_args", type=str, default=None)
     parser.add_argument("--ffmpeg_args", type=str, default="configs/ffmpeg-libx264.json")
     parser.add_argument("--scaling_args", type=str, default="configs/scaling-img.json",

@@ -340,6 +340,120 @@ class StyleEngine:
         self._runners[key] = jax.jit(run, donate_argnums=(1, 2))
         return self._runners[key]
 
+    # -- fused multi-scale pyramid program -----------------------------------
+
+    def optimize_pyramid(
+        self,
+        contents_per_scale: Sequence,
+        styles_per_scale: Sequence[Sequence],
+        init,
+        schedule: Sequence[tuple[tuple[int, int], int]],
+        *,
+        blend_weights: Sequence[float] | None = None,
+        hist_stats: tuple | None = None,
+    ) -> list[np.ndarray]:
+        """Optimise a whole multi-resolution pyramid as ONE device program.
+
+        The reference's multi-scale loop (style.py:52-73) runs one
+        optimisation per scale; each scale here costs a separate executable
+        load, which through a tunneled chip can be 30-600 s of pure wall
+        clock.  This runner chains every scale inside one jitted program —
+        resize content, capture targets, (optionally) histogram-match the
+        upsampled pastiche, run the scan — so a full pyramid pays exactly
+        one load.  Trade-off: no per-iteration snapshots or run-state
+        checkpoints inside the fused program (pipelines fall back to the
+        per-scale loop when those are requested).
+
+        ``schedule``: ((h, w), num_iters) per scale, static.
+        ``contents_per_scale`` / ``styles_per_scale``: host-pre-scaled per
+        scale (exact torch scale-factor-quirk parity with the per-scale
+        loop's ``resize_bilinear_np`` / ``scale_styles``).  ``hist_stats``:
+        optional (mu_s, qs) from ops.frame_ops.style_hist_stats for device
+        recolouring of inter-scale upsamples (the fused frame programs'
+        approximation of host match_histogram).  Returns per-scale outputs.
+        """
+        from ..ops.frame_ops import match_histogram_device
+        from ..ops.resize import resize_bilinear
+
+        schedule = tuple(((int(h), int(w)), int(n)) for (h, w), n in schedule)
+        blend = tuple(
+            blend_weights
+            if blend_weights is not None
+            else [1.0 / max(len(styles_per_scale[0]), 1)] * len(styles_per_scale[0])
+        )
+        opt = self._make_optimizer()
+        cfg = self.loss_cfg
+        extract = self._extract
+        key = ("pyramid", schedule, blend, hist_stats is not None, self.optimizer_name)
+
+        # per-scale strength scales need only target SHAPES: probe via
+        # eval_shape, no device work (mirrors _strength_scale)
+        scale_keys = []
+        for s, ((hh, ww), _n) in enumerate(schedule):
+            probe = {
+                "content_img": jax.ShapeDtypeStruct((1, hh, ww, 3), jnp.float32),
+                "style": jax.eval_shape(
+                    lambda imgs, bw: capture_style_targets(
+                        partial(extract, self.params), list(imgs), list(bw), cfg
+                    ),
+                    [jax.ShapeDtypeStruct(np.shape(im), jnp.float32) for im in styles_per_scale[s]],
+                    blend,
+                ),
+            }
+            scale_keys.append(self._strength_scale(probe))
+
+        if key not in self._runners:
+
+            def run(prm_raw, contents, styles_flat, pastiche, hstats):
+                outs = []
+                logs = []
+                for s, ((hh, ww), n_iters) in enumerate(schedule):
+                    pack = self.pack_stem and hh % 2 == 0 and ww % 2 == 0
+                    prm = prepare_params(prm_raw, self.spec, self.compute_dtype, pack)
+                    content_s = contents[s]
+                    if s > 0:
+                        pastiche = resize_bilinear(outs[-1], size=(hh, ww))
+                        if hstats is not None:
+                            pastiche = match_histogram_device(pastiche, *hstats)
+                    targets = {
+                        "content": capture_content_targets(partial(extract, prm), content_s, cfg),
+                        "style": capture_style_targets(
+                            partial(extract, prm), styles_flat[s], blend, cfg
+                        ),
+                    }
+                    scale = dict(scale_keys[s])
+
+                    def loss_fn(p, targets=targets, prm=prm, scale=scale):
+                        acts = extract(prm, p, cfg.all_layers)
+                        return evaluate_losses(p, acts, targets, cfg, scale)
+
+                    def step(carry, _, loss_fn=loss_fn):
+                        p, st = carry
+                        (_total, per), grad = jax.value_and_grad(loss_fn, has_aux=True)(p)
+                        updates, st2 = opt.update(grad.astype(jnp.float32), st, p)
+                        p = optax.apply_updates(p, updates)
+                        if self.pastiche_sharding is not None:
+                            p = jax.lax.with_sharding_constraint(p, self.pastiche_sharding)
+                        return (p, st2), per
+
+                    (out, _st), log = jax.lax.scan(step, (pastiche, opt.init(pastiche)), length=n_iters)
+                    if hstats is not None:
+                        out = match_histogram_device(out, *hstats)
+                    outs.append(out)
+                    logs.append(log)
+                return outs, logs
+
+            self._runners[key] = jax.jit(run)
+
+        styles_flat = [[jnp.asarray(im, jnp.float32) for im in sc] for sc in styles_per_scale]
+        contents = [jnp.asarray(c, jnp.float32) for c in contents_per_scale]
+        hs = None if hist_stats is None else tuple(jnp.asarray(a) for a in hist_stats)
+        outs, logs = self._runners[key](
+            self.params, contents, styles_flat, jnp.asarray(init, jnp.float32), hs,
+        )
+        self.last_loss_log = np.concatenate([np.asarray(l) for l in logs], axis=0)
+        return [np.asarray(o) for o in outs]
+
     # -- fused per-video-frame program ---------------------------------------
 
     def _frame_program(self, n_iters: int, fkey: tuple, extract, sharding="frame", pack_stem=None):

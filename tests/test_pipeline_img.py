@@ -211,3 +211,33 @@ def test_fidelity_vs_reference_tool(tmp_path, capsys):
     _write_image(other, seed=7, size=24)
     v2 = fidelity_vs_reference.main(["--reference_output", other, "--"] + style_argv("ours"))
     assert not v2["pass"] and v2["ssim"] < 0.98
+
+
+def test_fuse_scales_matches_per_scale_loop(tmp_path):
+    """--fuse_scales (whole pyramid as one jitted program) matches the
+    per-scale loop when no host-only features are requested."""
+    outs = {}
+    for fused in (False, True):
+        sub = tmp_path / ("f" if fused else "l")
+        os.makedirs(sub, exist_ok=True)
+        args = _tiny_args(
+            sub,
+            extra=("--init", "content", "--no_hist_match", *(("--fuse_scales",) if fused else ())),
+        )
+        os.makedirs(os.path.dirname(args.output), exist_ok=True)
+        outs[fused] = np.asarray(img_img(args), np.float32)
+    assert outs[True].shape == outs[False].shape
+    np.testing.assert_allclose(outs[True], outs[False], atol=0.5, rtol=1e-4)
+    # both scales' artifacts were written by the fused path too
+    f_args = _tiny_args(tmp_path / "f", extra=("--fuse_scales",))
+    for size in (16, 24):
+        assert os.path.exists(f"{f_args.output}_{size}.png")
+
+
+def test_fuse_scales_falls_back_on_save_iter(tmp_path, capsys):
+    args = _tiny_args(tmp_path, extra=("--init", "content", "--no_hist_match",
+                                       "--fuse_scales", "--save_iter", "2"))
+    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    out = img_img(args)
+    assert out is not None
+    assert "fuse_scales unavailable" in capsys.readouterr().out
