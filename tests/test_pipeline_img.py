@@ -241,3 +241,13 @@ def test_fuse_scales_falls_back_on_save_iter(tmp_path, capsys):
     out = img_img(args)
     assert out is not None
     assert "fuse_scales unavailable" in capsys.readouterr().out
+
+
+def test_fuse_scales_histogram_smoke(tmp_path):
+    """Fused pyramid with histogram matching on (single style): the device
+    recolouring path traces and produces finite artifacts."""
+    args = _tiny_args(tmp_path, extra=("--init", "content", "--fuse_scales"))
+    os.makedirs(os.path.dirname(args.output), exist_ok=True)
+    out = img_img(args)
+    assert out is not None and np.isfinite(np.asarray(out)).all()
+    assert os.path.exists(f"{args.output}_24.png")
