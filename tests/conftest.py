@@ -37,7 +37,12 @@ def _seed():
 import signal
 
 _DEFAULT_CAP = int(os.environ.get("MAUA_TEST_TIMEOUT", "120"))
-_SLOW_CAP = int(os.environ.get("MAUA_SLOW_TEST_TIMEOUT", "900"))
+# generous: the bf16 convergence bound alone runs ~10 min on a quiet 1-CPU
+# box and >15 under full-suite contention; an alarm that fires mid-jit also
+# leaves the in-process XLA state unreliable for LATER tests (observed: a
+# chunked-scan parity test failing only after a timed-out predecessor), so
+# the slow cap is a runaway backstop, not a budget
+_SLOW_CAP = int(os.environ.get("MAUA_SLOW_TEST_TIMEOUT", "1800"))
 
 
 @pytest.hookimpl(hookwrapper=True)
